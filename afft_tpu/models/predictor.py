@@ -1,0 +1,138 @@
+"""Causal future predictor (AVT-style GPT-2 over feature embeddings).
+
+Behavioural reference: models/future_prediction.py:354-415 in the upstream
+repo, which wraps a HuggingFace ``GPT2Model`` (wte deleted, fed with
+``inputs_embeds``). Re-implemented natively with exact GPT-2 numerics:
+learned position embeddings, pre-LN (eps 1e-5), packed qkv with bias,
+1/sqrt(head_dim) scaling, causal masking, "gelu_new" MLP, final ln_f, and
+GPT-2's depth-scaled init for the residual projections.
+
+``fp_output_len == 1`` (every shipped config) is a single full causal pass —
+the reference's KV-cache loop degenerates to the same thing. For longer
+rollouts each extra step feeds the last hidden state back as the next input
+embedding, reproducing reference :396-412.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+from ..ops.attention import multihead_attention
+
+
+class BaseFuturePredictor:
+    def __init__(self, in_features, inter_dim=2048, n_layer=6, n_head=4,
+                 embd_pdrop=0.1, resid_pdrop=0.1, attn_pdrop=0.1,
+                 output_attentions=False, dimension_mapping=False,
+                 n_positions=1024, **_ignored):
+        assert not dimension_mapping, \
+            "dimension mapping inside the predictor is deprecated " \
+            "(reference models/future_prediction.py:366)"
+        self.in_features = in_features
+        self.n_embd = inter_dim
+        self.n_layer = n_layer
+        self.n_head = n_head
+        self.n_inner = 4 * inter_dim
+        self.embd_pdrop = embd_pdrop
+        self.resid_pdrop = resid_pdrop
+        self.attn_pdrop = attn_pdrop
+        self.output_attentions = output_attentions
+        self.n_positions = n_positions
+
+    def init(self, rng):
+        std = 0.02
+        proj_std = std / math.sqrt(2 * self.n_layer)
+        keys = jax.random.split(rng, self.n_layer + 1)
+        blocks = []
+        for k in keys[:-1]:
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            blocks.append({
+                "ln_1": L.layernorm_init(self.n_embd),
+                "c_attn": L.normal_linear_init(k1, self.n_embd,
+                                               3 * self.n_embd, std),
+                "c_proj": L.normal_linear_init(k2, self.n_embd, self.n_embd,
+                                               proj_std),
+                "ln_2": L.layernorm_init(self.n_embd),
+                "c_fc": L.normal_linear_init(k3, self.n_embd, self.n_inner,
+                                             std),
+                "mlp_c_proj": L.normal_linear_init(k4, self.n_inner,
+                                                   self.n_embd, proj_std),
+            })
+        return {
+            "wpe": L.trunc_normal_init(keys[-1], (self.n_positions,
+                                                  self.n_embd), std),
+            "blocks": blocks,
+            "ln_f": L.layernorm_init(self.n_embd),
+        }
+
+    def _block(self, p, x, mask, *, train, rng, collect_attn):
+        Bsz, T, C = x.shape
+        h = L.layernorm_apply(p["ln_1"], x, 1e-5)
+        qkv = L.linear_apply(p["c_attn"], h)
+        qkv = qkv.reshape(Bsz, T, 3, self.n_head, C // self.n_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn_out, attn_w = multihead_attention(
+            q, k, v, mask=mask, attn_drop=self.attn_pdrop, train=train,
+            rng=rng, return_weights=collect_attn)
+        attn_out = L.linear_apply(p["c_proj"], attn_out.reshape(Bsz, T, C))
+        attn_out = L.dropout(attn_out, self.resid_pdrop, train, rng)
+        x = x + attn_out
+        h = L.layernorm_apply(p["ln_2"], x, 1e-5)
+        h = L.gelu_new(L.linear_apply(p["c_fc"], h))
+        h = L.linear_apply(p["mlp_c_proj"], h)
+        h = L.dropout(h, self.resid_pdrop, train, rng)
+        return x + h, attn_w
+
+    def forward_hidden(self, params, embeds, position_ids, *, train=False,
+                       rng: Optional[L.RngStream] = None, collect_attn=False):
+        """One full causal pass: embeds (B, T, C) -> last hidden (B, T, C)."""
+        T = embeds.shape[1]
+        mask = L.neg_inf_causal_mask(T, embeds.dtype)
+        x = embeds + jnp.take(params["wpe"], position_ids, axis=0)
+        x = L.dropout(x, self.embd_pdrop, train, rng)
+        attns = []
+        for p in params["blocks"]:
+            x, w = self._block(p, x, mask, train=train, rng=rng,
+                               collect_attn=collect_attn)
+            if collect_attn:
+                attns.append(w)
+        x = L.layernorm_apply(params["ln_f"], x, 1e-5)
+        return x, (jnp.stack(attns, axis=1) if collect_attn else None)
+
+    def apply(self, params, feats, output_len: int = 1, *, train=False,
+              rng: Optional[L.RngStream] = None) -> Tuple[jax.Array, dict]:
+        """feats (B, T, C) -> (updated past + future, (B, T+output_len-1, C)).
+
+        Step i > 0 feeds the previous step's last hidden state back with
+        position T+i-1 (reference models/future_prediction.py:396-412); with
+        tiny T a full re-run is equivalent to — and as cheap as — KV caching.
+        """
+        addl_endpoints = {}
+        Bsz, T, C = feats.shape
+        embeds = feats
+        outputs = None
+        for output_id in range(output_len):
+            total = embeds.shape[1]
+            hidden, attn = self.forward_hidden(
+                params, embeds, jnp.arange(total), train=train, rng=rng,
+                collect_attn=self.output_attentions)
+            if attn is not None:
+                # (B, n_layer, H, T, T), matching reference :409
+                new = attn[:, :, :, total - (T if output_id == 0 else 1):]
+                addl_endpoints[f"gpt2_att_{output_id}"] = new
+            outputs = hidden
+            if output_id + 1 < output_len:
+                embeds = jnp.concatenate([embeds, hidden[:, -1:, :]], axis=1)
+        # full first pass (T hiddens) plus one extra hidden per later step
+        if output_len == 1:
+            return outputs, addl_endpoints
+        result = jnp.concatenate(
+            [outputs[:, :T, :],
+             *[outputs[:, T + i: T + i + 1, :] for i in range(output_len - 1)]],
+            axis=1)
+        return result, addl_endpoints
