@@ -1,0 +1,297 @@
+"""Clip dataset over pre-extracted features.
+
+Behavioural reference: datasets/base_video_dataset.py:94-487 in the upstream
+repo. Keeps the reference's sampling semantics exactly (clip strategies,
+fps subsampling back-aligned for last_clip, front padding, per-frame past
+labels including the closest-row tie-break) but restructured for host
+throughput: features are fetched with one vectorized store gather per clip,
+and per-frame segmentation labels use a precomputed per-video interval table
+instead of a pandas scan per item (reference :431-458 is the slow path).
+"""
+
+from __future__ import annotations
+
+import logging
+import random as pyrandom
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+
+from .anticipation import RULSTM_TSN_FPS, convert_to_anticipation
+from ..config.registry import instantiate
+
+SAMPLE_STRAT_CNTR = "center_clip"
+SAMPLE_STRAT_RAND = "random_clip"
+SAMPLE_STRAT_FIRST = "first_clip"
+SAMPLE_STRAT_LAST = "last_clip"
+
+
+class ZeroMaskFeats:
+    """Random frame zero-masking augmentation
+    (reference common/transforms.py:13-25)."""
+
+    def __init__(self, mask_rate=0.2):
+        self.mask_rate = mask_rate
+
+    def __call__(self, feats: np.ndarray) -> np.ndarray:
+        if self.mask_rate == 0:
+            return feats
+        num_frames = feats.shape[0]
+        num_masked = round(num_frames * self.mask_rate)
+        rows = pyrandom.sample(range(num_frames), num_masked)
+        feats = feats.copy()
+        feats[rows] = 0.0
+        return feats
+
+
+class _VideoLabelIndex:
+    """Per-video interval table for past-frame labels
+    (replaces the per-item pandas scan, reference :431-458)."""
+
+    def __init__(self, df: pd.DataFrame, label_types: Sequence[str]):
+        self.by_video = {}
+        for video, vdf in df.groupby("video_path", sort=False):
+            entry = {
+                "orig_start": vdf.orig_start.values.astype(np.float64),
+                "orig_end": vdf.orig_end.values.astype(np.float64),
+            }
+            for tname in label_types:
+                col = tname + "_class"
+                entry[tname] = (vdf[col].values.astype(np.int64)
+                                if col in vdf else
+                                np.full(len(vdf), -1, np.int64))
+            self.by_video[str(video)] = entry
+
+    def labels_at(self, video: str, times: np.ndarray,
+                  label_types: Sequence[str]) -> Dict[str, np.ndarray]:
+        entry = self.by_video.get(str(video))
+        out = {t: np.full(len(times), -1, np.int64) for t in label_types}
+        if entry is None:
+            return out
+        os_, oe = entry["orig_start"], entry["orig_end"]
+        hits = (times[:, None] >= os_[None]) & (times[:, None] <= oe[None])
+        any_hit = hits.any(axis=1)
+        if not any_hit.any():
+            return out
+        # ties: reference picks argmin |t - (end-start)/2| over matching rows
+        # (datasets/base_video_dataset.py:450-453; note this is half-duration,
+        # not the segment centre — replicated bug-for-bug)
+        half_dur = (oe - os_) / 2.0
+        score = np.abs(times[:, None] - half_dur[None])
+        score = np.where(hits, score, np.inf)
+        best = np.argmin(score, axis=1)
+        for tname in label_types:
+            vals = entry[tname][best]
+            out[tname] = np.where(any_hit, vals, -1)
+        return out
+
+
+class FeatureClipDataset:
+    """Anticipation clips over per-frame feature stores.
+
+    Item layout (native): data {mod: (T, F) float32}, target {type: int},
+    target_subclips {type: (T, 1) int}, video_frame_sec (T,), uid, idx.
+    """
+
+    def __init__(self,
+                 df: pd.DataFrame,
+                 frames_per_clip: int = 10,
+                 frame_rate: Optional[float] = None,
+                 frame_subclips_options: Optional[Dict] = None,
+                 sec_subclips_options: Optional[Dict] = None,
+                 load_seg_labels: bool = False,
+                 reader_fn: Optional[Dict] = None,
+                 transforms: Optional[Dict] = None,
+                 label_type: Union[str, Sequence[str]] = "action",
+                 sample_strategy: str = SAMPLE_STRAT_LAST,
+                 conv_to_anticipate_fn: Optional[Dict] = None,
+                 random_seed: int = 42,
+                 verb_classes: Optional[dict] = None,
+                 noun_classes: Optional[dict] = None,
+                 action_classes: Optional[dict] = None,
+                 dummy_label: Union[list, int] = -1,
+                 compute_dataset_stats: bool = False,
+                 max_els: Optional[int] = None,
+                 data_dir_train=None, data_dir_test=None,
+                 data_dir_extension=None,
+                 **_ignored):
+        self.df = df
+        if "uid" not in self.df.columns:
+            self.df = self.df.copy()
+            self.df.loc[:, "uid"] = range(1, len(self.df) + 1)
+
+        self.discarded_df = None
+        self.challenge_type = "action_recognition"
+        if conv_to_anticipate_fn is not None:
+            self.df, self.discarded_df = instantiate(conv_to_anticipate_fn,
+                                                     self.df)
+            logging.info("Discarded %d elements in anticipate conversion",
+                         len(self.discarded_df))
+            self.challenge_type = "action_anticipation"
+
+        self.frames_per_clip = frames_per_clip
+        self.frame_rate = frame_rate
+        self.sample_strategy = sample_strategy
+        self.label_type = ([label_type] if isinstance(label_type, str)
+                           else list(label_type))
+        self.load_seg_labels = load_seg_labels
+        self.verb_classes = verb_classes or {}
+        self.noun_classes = noun_classes or {}
+        self.action_classes = action_classes or {}
+        self.dummy_label = dummy_label
+        self.rng = np.random.default_rng(random_seed)
+        self.frame_subclips_options = frame_subclips_options or \
+            {"num_frames": 1, "stride": 1}
+        self.sec_subclips_options = sec_subclips_options or \
+            {"num_frames": 1, "stride": 1}
+
+        # readers: {mod: EpicRULSTMFeatsReader-like}; dict configs are
+        # instantiated through the registry (reference reader_fn TargetConf)
+        self.reader_fn = {}
+        for mod, rf in (reader_fn or {}).items():
+            if isinstance(rf, dict) and "_target_" in rf:
+                rf = instantiate(rf)
+            self.reader_fn[mod] = rf
+
+        self.df_before_subset = self.df
+        if max_els is not None:
+            self.df = self.df.sample(n=max_els, replace=False)
+            self.df = self.df.reset_index(drop=True)
+
+        self.transforms = transforms or {}
+        self._label_index = _VideoLabelIndex(self.df_before_subset,
+                                             self.label_type) \
+            if load_seg_labels else None
+
+    # ------------------------------------------------------------------
+    @property
+    def classes(self) -> OrderedDict:
+        return OrderedDict(
+            (t, getattr(self, t + "_classes")) for t in self.label_type)
+
+    @property
+    def classes_manyshot(self) -> OrderedDict:
+        return self.classes
+
+    @property
+    def class_mappings(self) -> Dict:
+        return {}
+
+    def __len__(self):
+        return len(self.df)
+
+    # ------------------------------------------------------------------
+    def _clip_window(self, start: float, end: float, fps: float):
+        """Clip selection arithmetic (reference :225-263)."""
+        start, end = max(start, 0.0), max(end, 0.0)
+        req_fps = self.frame_rate if self.frame_rate is not None else fps
+        nframes = int(fps * (end - start))
+        frames_to_ext = int(round(self.frames_per_clip * (fps / req_fps)))
+
+        strat = self.sample_strategy
+        if strat == SAMPLE_STRAT_RAND:
+            start_frame = max(nframes - frames_to_ext, 0)
+            if start_frame > 0:
+                start_frame = int(self.rng.integers(start_frame))
+        elif strat == SAMPLE_STRAT_CNTR:
+            start_frame = max((nframes - frames_to_ext) // 2, 0)
+        elif strat == SAMPLE_STRAT_LAST:
+            start_frame = max(nframes - frames_to_ext, 0)
+        elif strat == SAMPLE_STRAT_FIRST:
+            start_frame = 0
+        else:
+            raise NotImplementedError(f"Unknown {strat}")
+
+        new_start = start + max(start_frame / fps, 0)
+        new_end = start + max((start_frame + frames_to_ext) / fps, 0)
+        new_end = max(min(end, new_end), 0)
+        new_start = min(max(new_start, 0), new_end)
+        return new_start, new_end, req_fps
+
+    def _subsample_and_pad(self, feats: np.ndarray, frame_sec: np.ndarray,
+                           fps: float, req_fps: float):
+        """fps subsampling (back-aligned for last/random) + front padding
+        (reference :279-335)."""
+        strat = self.sample_strategy
+        step = max(int(round(fps / req_fps)), 1)
+        n = len(feats)
+        if strat in (SAMPLE_STRAT_LAST, SAMPLE_STRAT_RAND):
+            keep = list(range(n))[::-step][::-1]
+            if strat == SAMPLE_STRAT_RAND:
+                shift = max(int(round(fps / req_fps / 3)), 1)
+                offset = int(round(pyrandom.random() * shift))
+                keep = [i - offset if i - offset > 0 else i for i in keep]
+        else:
+            keep = list(range(n))[::step]
+        feats = feats[keep]
+        frame_sec = frame_sec[keep]
+
+        fpc = self.frames_per_clip
+        t = len(feats)
+        if t < fpc:
+            npad = fpc - t
+            if strat in (SAMPLE_STRAT_LAST, SAMPLE_STRAT_RAND):
+                feats = np.concatenate([np.repeat(feats[:1], npad, 0), feats])
+                frame_sec = np.concatenate(
+                    [np.repeat(frame_sec[:1], npad), frame_sec])
+            else:
+                feats = np.concatenate([feats, np.repeat(feats[-1:], npad, 0)])
+                frame_sec = np.concatenate(
+                    [frame_sec, np.repeat(frame_sec[-1:], npad)])
+        if strat in (SAMPLE_STRAT_LAST, SAMPLE_STRAT_RAND):
+            return feats[-fpc:], frame_sec[-fpc:]
+        return feats[:fpc], frame_sec[:fpc]
+
+    def _sample_mod(self, mod: str, row) -> Dict[str, np.ndarray]:
+        reader = self.reader_fn[mod]
+        fps = reader.get_frame_rate(row["video_path"])
+        new_start, new_end, req_fps = self._clip_window(
+            row["start"], row["end"], fps)
+        feats = reader.read_window(row["video_path"], new_start, new_end, fps)
+        t = len(feats)
+        if new_start >= new_end:
+            frame_sec = np.full((t,), new_start, np.float32)
+        else:
+            frame_sec = np.linspace(new_start, new_end, t, dtype=np.float32)
+        feats, frame_sec = self._subsample_and_pad(feats, frame_sec, fps,
+                                                   req_fps)
+        tfm = self.transforms.get(mod)
+        if tfm is not None:
+            feats = tfm(feats)
+        return {"feats": feats.astype(np.float32), "frame_sec": frame_sec}
+
+    def _get_labels(self, row) -> OrderedDict:
+        labels = OrderedDict()
+        for tname in self.label_type:
+            col = tname + "_class"
+            labels[tname] = int(row[col]) if col in row else self.dummy_label
+        return labels
+
+    def get_item(self, idx: int) -> Dict:
+        row = self.df.loc[idx, :]
+        data, frame_sec = {}, None
+        for mod in self.reader_fn:
+            s = self._sample_mod(mod, row)
+            data[mod] = s["feats"]
+            frame_sec = s["frame_sec"]
+        item = {
+            "data_dict": data,
+            "target": self._get_labels(row),
+            "uid": row.uid,
+            "idx": idx,
+            "video_frame_sec": frame_sec,
+            "start": row["start"],
+            "end": row["end"],
+        }
+        if self.load_seg_labels:
+            labels = self._label_index.labels_at(
+                row["video_path"], np.asarray(frame_sec, np.float64),
+                self.label_type)
+            item["target_subclips"] = {
+                t: v[:, None] for t, v in labels.items()}  # (T, 1)
+        return item
+
+    def __getitem__(self, idx):
+        return self.get_item(idx), {}

@@ -1,0 +1,298 @@
+"""Feature stores and reader functions.
+
+Behavioural reference: datasets/reader_fns.py:40-157 in the upstream repo
+(EpicRULSTMFeatsReader). The reference does one LMDB ``get`` per frame with a
+<=10-step *backward* search for missing frames (anticipation-safe: never
+looks forward), zeros for still-missing frames.
+
+TPU-first redesign: the store interface is a *vectorized* lookup
+``get_frames(video, frame_ids) -> (len(ids), F)`` so the hot path is one
+gather per clip instead of a Python loop per frame. Three backends:
+
+- PackedFeatureStore: the serving format. One contiguous float32 memmap per
+  modality plus per-video sorted frame-id tables; backward search collapses
+  to a ``searchsorted``. Built offline from LMDB by tools/pack_features.py.
+- LmdbFeatureStore: reads the original RULSTM LMDB dirs (via the ``lmdb``
+  package when installed, else the bundled native reader) — import path and
+  correctness baseline.
+- DictFeatureStore: in-memory, for tests and fixtures.
+
+``EpicRULSTMFeatsReader`` keeps the reference's reader facade (same
+``_target_`` in configs, same audio/pose fps remapping, same zero-fill
+semantics) on top of whichever backend the path contains.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+SEARCH_RADIUS = 10  # backward search window, reference reader_fns.py:79
+
+
+# ---------------------------------------------------------------------------
+# backends
+# ---------------------------------------------------------------------------
+
+class FeatureStore:
+    """Vectorized frame-feature lookup for one modality."""
+
+    feature_dim: int
+
+    def get_frames(self, video: str, frame_ids: np.ndarray) -> np.ndarray:
+        """Return (len(frame_ids), F) float32 with the reference's backward
+        search + zero-fill semantics applied."""
+        raise NotImplementedError
+
+    def available_frames(self, video: str) -> np.ndarray:
+        raise NotImplementedError
+
+
+def resolve_backward(avail: np.ndarray, frame_ids: np.ndarray):
+    """Map requested frame ids onto stored ones.
+
+    For each requested id, find the nearest stored id in
+    [id - (SEARCH_RADIUS-1), id] (reference searches offsets 0..9). Returns
+    (row_indices, found_mask); unfound rows must be zero-filled.
+    """
+    idx = np.searchsorted(avail, frame_ids, side="right") - 1
+    safe = np.clip(idx, 0, None)
+    found = (idx >= 0) & (frame_ids - avail[safe] <= SEARCH_RADIUS - 1)
+    return safe, found
+
+
+class DictFeatureStore(FeatureStore):
+    """{video: {frame_id: (F,) float32}} in memory."""
+
+    def __init__(self, table: Dict[str, Dict[int, np.ndarray]]):
+        self.table = table
+        self._avail = {v: np.array(sorted(d.keys()), dtype=np.int64)
+                       for v, d in table.items()}
+        any_feat = next(iter(next(iter(table.values())).values()))
+        self.feature_dim = int(any_feat.shape[-1])
+
+    def available_frames(self, video):
+        return self._avail[video]
+
+    def get_frames(self, video, frame_ids):
+        avail = self._avail[video]
+        rows, found = resolve_backward(avail, np.asarray(frame_ids))
+        assert found.any(), f"No features found for {video} - {frame_ids}"
+        out = np.zeros((len(frame_ids), self.feature_dim), np.float32)
+        vids = self.table[video]
+        for i, (r, ok) in enumerate(zip(rows, found)):
+            if ok:
+                out[i] = vids[int(avail[r])]
+        return out
+
+
+class PackedFeatureStore(FeatureStore):
+    """Packed serving format: meta.json + features.bin + frame_ids.bin.
+
+    meta.json: {"feature_dim": F, "videos": {name: {"row_offset": int,
+    "num_rows": int}}}. features.bin is float32 (total_rows, F); frame_ids.bin
+    is int64 (total_rows,) ascending per video.
+    """
+
+    MAGIC = "afft-fdb-v1"
+
+    def __init__(self, path: Union[str, Path]):
+        path = Path(path)
+        meta = json.loads((path / "meta.json").read_text())
+        assert meta.get("format") == self.MAGIC, f"not a packed store: {path}"
+        self.feature_dim = meta["feature_dim"]
+        self.videos = meta["videos"]
+        total = sum(v["num_rows"] for v in self.videos.values())
+        self.features = np.memmap(path / "features.bin", dtype=np.float32,
+                                  mode="r", shape=(total, self.feature_dim))
+        self.frame_ids = np.memmap(path / "frame_ids.bin", dtype=np.int64,
+                                   mode="r", shape=(total,))
+
+    @classmethod
+    def write(cls, path: Union[str, Path],
+              videos: Dict[str, Dict[int, np.ndarray]]):
+        """Build a packed store from {video: {frame_id: (F,) feature}}."""
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        names = sorted(videos)
+        feature_dim = None
+        meta_videos, feats, ids = {}, [], []
+        offset = 0
+        for name in names:
+            frames = sorted(videos[name])
+            for fid in frames:
+                feat = np.asarray(videos[name][fid], np.float32)
+                feature_dim = feature_dim or feat.shape[-1]
+                feats.append(feat)
+                ids.append(fid)
+            meta_videos[name] = {"row_offset": offset,
+                                 "num_rows": len(frames)}
+            offset += len(frames)
+        np.concatenate([f[None] for f in feats]).astype(np.float32)\
+            .tofile(path / "features.bin")
+        np.asarray(ids, np.int64).tofile(path / "frame_ids.bin")
+        (path / "meta.json").write_text(json.dumps({
+            "format": cls.MAGIC, "feature_dim": feature_dim,
+            "videos": meta_videos}))
+        return cls(path)
+
+    def available_frames(self, video):
+        v = self.videos[video]
+        o, n = v["row_offset"], v["num_rows"]
+        return self.frame_ids[o:o + n]
+
+    def get_frames(self, video, frame_ids):
+        v = self.videos[video]
+        o, n = v["row_offset"], v["num_rows"]
+        avail = self.frame_ids[o:o + n]
+        rows, found = resolve_backward(avail, np.asarray(frame_ids))
+        assert found.any(), f"No features found for {video} - {frame_ids}"
+        out = self.features[o + rows]  # vectorized gather from the memmap
+        out = np.where(found[:, None], out, 0.0).astype(np.float32)
+        return out
+
+
+class LmdbFeatureStore(FeatureStore):
+    """Original RULSTM LMDB dirs. Key format '{video}_frame_{:010d}.jpg'."""
+
+    def __init__(self, path: Union[str, Path]):
+        self.path = str(path)
+        self.env = self._open(self.path)
+        self.feature_dim = None  # discovered on first read
+
+    @staticmethod
+    def _open(path):
+        try:
+            import lmdb
+            return lmdb.open(path, readonly=True, lock=False)
+        except ImportError:
+            from .lmdb_native import NativeLmdb  # bundled C/py reader
+            return NativeLmdb(path)
+
+    def available_frames(self, video):
+        raise NotImplementedError(
+            "LMDB stores are not indexed; pack them with tools/pack_features.py")
+
+    def get_frames(self, video, frame_ids):
+        feats = []
+        with self.env.begin() as txn:
+            for fid in np.asarray(frame_ids):
+                dd = None
+                for radius in range(SEARCH_RADIUS):
+                    key = f"{video}_frame_{int(fid) - radius:010d}.jpg"
+                    dd = txn.get(key.encode("utf-8"))
+                    if dd is not None:
+                        break
+                feats.append(None if dd is None
+                             else np.frombuffer(dd, "float32"))
+        not_none = [f for f in feats if f is not None]
+        assert not_none, f"No features found for {video} - {frame_ids}"
+        self.feature_dim = not_none[0].shape[-1]
+        zero = np.zeros_like(not_none[0])
+        return np.stack([zero if f is None else f for f in feats]).astype(
+            np.float32)
+
+
+def open_store(path: Union[str, Path]) -> FeatureStore:
+    path = Path(path)
+    if (path / "meta.json").exists():
+        return PackedFeatureStore(path)
+    return LmdbFeatureStore(path)
+
+
+# ---------------------------------------------------------------------------
+# reference-compatible reader facades
+# ---------------------------------------------------------------------------
+
+class EpicRULSTMFeatsReader:
+    """Reads per-frame RULSTM features for the observed window.
+
+    Interface-compatible with the reference reader (same ``_target_`` string
+    in configs, reference datasets/reader_fns.py:40-157): accepts one lmdb
+    path or a list (features concatenated), converts audio/pose frame indices
+    from RULSTM 30 fps to the native video fps, zero-fills missing frames.
+    """
+
+    def __init__(self, lmdb_path: Union[str, List[str], None] = None,
+                 warn_if_using_closeby_frame: bool = True):
+        if not isinstance(lmdb_path, (list, tuple)):
+            lmdb_path = [lmdb_path]
+        self.lmdb_path = [str(p) for p in lmdb_path]
+        self.stores = [open_store(p) for p in self.lmdb_path]
+        self.warn_if_using_closeby_frame = warn_if_using_closeby_frame
+
+    @staticmethod
+    def get_frame_rate(video_path) -> float:
+        return 30.0  # RULSTM features are stored at 30 fps
+
+    @staticmethod
+    def _get_orig_video_fps(video_name: str) -> float:
+        """EPIC audio/pose features index by native video fps
+        (reference reader_fns.py:148-156)."""
+        length = len(video_name.split("_")[-1])
+        if length == 3:  # epic 100
+            return 50.0
+        if length == 2:  # epic 55
+            return 59.94005994005994
+        raise ValueError(f"Unknown video name format: {video_name}")
+
+    def frame_ids_for_window(self, start_sec: float, end_sec: float,
+                             fps: float) -> np.ndarray:
+        """Frame ids covering (start, end]; ids below 1 are replaced by the
+        smallest valid id (reference reader_fns.py:117-123)."""
+        start_frame = np.floor(start_sec * fps)
+        end_frame = np.floor(end_sec * fps)
+        frames = np.arange(end_frame, start_frame, -1).astype(int)[::-1]
+        assert frames.max() >= 1, \
+            f"observed window fully before the video start: {start_sec}-{end_sec}"
+        frames[frames < 1] = frames[frames >= 1].min()
+        return frames
+
+    def read_window(self, video_path, start_sec: float, end_sec: float,
+                    fps: float) -> np.ndarray:
+        """Features for the window, shape (T, F_total)."""
+        video_name = Path(str(video_path)).stem
+        frames = self.frame_ids_for_window(start_sec, end_sec, fps)
+        feats = []
+        for store, path in zip(self.stores, self.lmdb_path):
+            if "audio" in path or "poses" in path:
+                orig_fps = self._get_orig_video_fps(video_name)
+                fr = np.rint(frames / fps * orig_fps).astype(int)
+            else:
+                fr = frames
+            feats.append(store.get_frames(video_name, fr))
+        return np.concatenate(feats, axis=-1)
+
+    # reference Reader protocol (used by item-level compatibility paths)
+    def __call__(self, video_path, start, end, fps, df_row=None, **kwargs):
+        feats = self.read_window(video_path, start, end, fps)
+        return feats[:, None, None, :], {}, {}, {}
+
+
+class DefaultReader:
+    """Raw-video reader (pyav) — unused by every shipped config
+    (reference datasets/reader_fns.py:23-37); gated on torchvision."""
+
+    def __call__(self, video_path, start, end, fps=None, df_row=None,
+                 pts_unit="sec"):
+        try:
+            import torchvision
+        except ImportError as e:
+            raise RuntimeError(
+                "DefaultReader needs torchvision, which is not available; "
+                "all shipped configs use pre-extracted features") from e
+        torchvision.set_video_backend("pyav")
+        video, audio, info = torchvision.io.read_video(
+            video_path, start, end, pts_unit=pts_unit)
+        return video, audio, info, {}
+
+    @staticmethod
+    def get_frame_rate(video_path) -> float:
+        import cv2
+        cap = cv2.VideoCapture(str(video_path))
+        return cap.get(cv2.CAP_PROP_FPS)

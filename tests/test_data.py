@@ -1,0 +1,162 @@
+"""Data-pipeline parity against golden fixtures from the torch reference.
+
+Fixtures from tools/export_data_fixtures.py: item-level tensors on the
+synthetic EGTEA-style dataset (with missing frames exercising the backward
+search) and the anticipation conversion on the real EK100 validation csv.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from afft_tpu.data.epic import EPICKitchens
+from afft_tpu.data.loader import BatchLoader, shard_indices
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+SYNTH = os.path.join(FIXTURES, "synth")
+ANNOT = os.path.join(SYNTH, "annotations")
+MODS = ["rgb", "flow"]
+
+
+def _load(name):
+    path = os.path.join(FIXTURES, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} missing; run tools/export_data_fixtures.py")
+    return np.load(path, allow_pickle=False)
+
+
+@pytest.fixture(scope="module")
+def synth_dataset():
+    if not os.path.exists(ANNOT):
+        pytest.skip("synthetic dataset missing; run tools/synthetic.py")
+    return EPICKitchens(
+        annotation_path=[os.path.join(ANNOT, "validation1.csv")],
+        annotation_dir=ANNOT,
+        rulstm_annotation_dir=ANNOT,
+        action_labels_fpath=os.path.join(ANNOT, "actions.csv"),
+        version=-1,
+        label_type="action",
+        sample_strategy="last_clip",
+        conv_to_anticipate_fn={
+            "_target_": "datasets.base_video_dataset.convert_to_anticipation",
+            "tau_a": 0.5, "tau_o": 10, "drop_style": "correct"},
+        reader_fn={m: {
+            "_target_": "datasets.reader_fns.EpicRULSTMFeatsReader",
+            "lmdb_path": os.path.join(SYNTH, "features_packed", m)}
+            for m in MODS},
+        frames_per_clip=10,
+        frame_rate=1,
+        load_seg_labels=True,
+    )
+
+
+def test_synth_df_matches_reference(synth_dataset):
+    d = _load("data_synth.npz")
+    np.testing.assert_array_equal(
+        synth_dataset.df.uid.values.astype(np.int64), d["df::uid"])
+    np.testing.assert_allclose(synth_dataset.df.start.values, d["df::start"])
+    np.testing.assert_allclose(synth_dataset.df.end.values, d["df::end"])
+    np.testing.assert_allclose(synth_dataset.df.orig_start.values,
+                               d["df::orig_start"])
+    np.testing.assert_array_equal(
+        synth_dataset.df.action_class.values, d["df::action_class"])
+    np.testing.assert_array_equal(
+        np.sort(synth_dataset.discarded_df.uid.values.astype(np.int64)),
+        np.sort(d["df::discarded_uid"]))
+
+
+def test_synth_class_mappings(synth_dataset):
+    d = _load("data_synth.npz")
+    cm = synth_dataset.class_mappings
+    np.testing.assert_array_equal(cm[("verb", "action")], d["cm::verb_action"])
+    np.testing.assert_array_equal(cm[("noun", "action")], d["cm::noun_action"])
+
+
+def test_synth_items_match_reference(synth_dataset):
+    """Every item: feature windows (incl. backward search + zero fill +
+    padding), labels, past-frame labels, frame timestamps."""
+    d = _load("data_synth.npz")
+    n = int(d["n_items"])
+    assert len(synth_dataset) == n
+    for i in range(n):
+        item = synth_dataset.get_item(i)
+        for m in MODS:
+            np.testing.assert_allclose(
+                item["data_dict"][m], d[f"item{i}::data::{m}"],
+                rtol=1e-6, atol=1e-6, err_msg=f"item {i} mod {m}")
+        assert item["target"]["action"] == int(d[f"item{i}::target::action"])
+        np.testing.assert_array_equal(
+            item["target_subclips"]["action"],
+            d[f"item{i}::subclips::action"], err_msg=f"item {i} subclips")
+        np.testing.assert_allclose(
+            item["video_frame_sec"], d[f"item{i}::frame_sec"].squeeze(-1),
+            rtol=1e-5, atol=1e-5)
+        assert int(item["uid"]) == int(d[f"item{i}::uid"])
+
+
+def test_ek100_conversion_matches_reference():
+    d = _load("data_ek100.npz")
+    ds = EPICKitchens(
+        annotation_path=["annotations/ek100_rulstm/validation.csv"],
+        annotation_dir="annotations/ek100_ori/",
+        rulstm_annotation_dir="annotations/ek100_rulstm/",
+        action_labels_fpath="annotations/ek100_rulstm/actions.csv",
+        version=0.2,
+        label_type="action",
+        sample_strategy="last_clip",
+        conv_to_anticipate_fn={
+            "_target_": "datasets.base_video_dataset.convert_to_anticipation",
+            "tau_a": 1, "tau_o": 10, "drop_style": "correct"},
+        reader_fn={},
+        frames_per_clip=10, frame_rate=1, load_seg_labels=False,
+    )
+    assert len(ds.df) == len(d["df::start"])
+    assert len(ds.discarded_df) == int(d["n_discarded"])
+    np.testing.assert_array_equal(ds.df.uid.values.astype(str), d["df::uid"])
+    np.testing.assert_allclose(ds.df.start.values, d["df::start"])
+    np.testing.assert_allclose(ds.df.end.values, d["df::end"])
+    np.testing.assert_array_equal(ds.df.action_class.values,
+                                  d["df::action_class"])
+    assert len(ds.verb_classes) == int(d["n_verbs"])
+    assert len(ds.noun_classes) == int(d["n_nouns"])
+    assert len(ds.action_classes) == int(d["n_actions"])
+    cm = ds.class_mappings
+    np.testing.assert_array_equal(cm[("verb", "action")], d["cm::verb_action"])
+    np.testing.assert_array_equal(cm[("noun", "action")], d["cm::noun_action"])
+
+
+def test_shard_indices_cover_all():
+    full = set()
+    sizes = []
+    for shard in range(3):
+        idx = shard_indices(100, shuffle=True, seed=1, epoch=4,
+                            shard_id=shard, num_shards=3)
+        sizes.append(len(idx))
+        full.update(idx.tolist())
+    assert len(set(sizes)) == 1  # equal shard sizes
+    assert full == set(range(100))
+    # deterministic per epoch
+    a = shard_indices(100, True, 1, 4, 0, 3)
+    b = shard_indices(100, True, 1, 4, 0, 3)
+    np.testing.assert_array_equal(a, b)
+    c = shard_indices(100, True, 1, 5, 0, 3)
+    assert not np.array_equal(a, c)
+
+
+def test_batch_loader_shapes_and_padding(synth_dataset):
+    loader = BatchLoader(synth_dataset, batch_size=5, shuffle=True, seed=0,
+                         num_workers=2)
+    loader.set_epoch(0)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    n_valid = sum(int(b["valid"].sum()) for b in batches)
+    assert n_valid == len(synth_dataset)
+    for b in batches:
+        for m in MODS:
+            assert b["data_dict"][m].shape == (5, 10, 24)
+        assert b["target"]["action"].shape == (5,)
+        assert b["target_subclips"]["action"].shape == (5, 10, 1)
+    # all uids seen exactly once among valid rows
+    uids = np.concatenate([b["uid"][b["valid"]] for b in batches])
+    assert len(np.unique(uids)) == len(synth_dataset)

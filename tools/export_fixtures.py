@@ -83,6 +83,10 @@ def install_stubs():
         if cfg is None:
             return None
         cfg = dict(cfg)
+        if "_target_" not in cfg:
+            # dict of sub-configs (e.g. per-modality reader_fn)
+            return {k: instantiate(v) if isinstance(v, dict) else v
+                    for k, v in cfg.items()}
         target = cfg.pop("_target_")
         cfg.pop("_recursive_", None)
         mod_name, _, attr = target.rpartition(".")
