@@ -1,0 +1,124 @@
+"""Test/eval entry: logits export and marginalized evaluation.
+
+Behavioural reference: test.py in the upstream repo (save_logits :33-61,
+store_append_h5 :20-30, evaluate :64-98, main :101-141). Single jitted
+forward per batch on the device mesh; h5 layout matches the reference so
+its logits files and ours late-fuse interchangeably.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config, instantiate
+from ..data.loader import BatchLoader, get_dataset
+from ..models.base_model import BaseModel
+from ..parallel.mesh import init_distributed, make_mesh, replicate_tree, \
+    shard_batch
+from ..train.checkpoint import init_from_model
+from ..train.loop import DATASET_EVAL_CFG_KEY, get_transforms
+from .challenge import LOGITS_DIR, marginalize_verb_noun, \
+    print_accuracies_epic
+
+log = logging.getLogger(__name__)
+
+
+def store_append_h5(endpoints, output_dir, save_file_name):
+    import h5py
+    output_fpath = os.path.join(output_dir, save_file_name)
+    os.makedirs(output_dir, exist_ok=True)
+    with h5py.File(output_fpath, "a") as fout:
+        for key, val in endpoints.items():
+            if key not in fout:
+                fout.create_dataset(
+                    key, data=val, compression="gzip", compression_opts=9,
+                    chunks=True, maxshape=(None,) + val.shape[1:])
+            else:
+                fout[key].resize(
+                    (fout[key].shape[0] + val.shape[0],) + val.shape[1:])
+                fout[key][-val.shape[0]:, ...] = val
+
+
+def _forward_all(model, params, loader, mesh, num_heads_key="logits/action"):
+    """Run the eval forward over a loader; yields (valid logits, uids)."""
+    cmfp = model.future_predictor
+    heads = cmfp.classifier_keys.get("action", ["all-fused"])
+    modk = "all-fused" if "all-fused" in heads else heads[0]
+
+    @jax.jit
+    def fwd(p, data):
+        outputs, _ = model.apply(p, data, train=False)
+        return outputs[num_heads_key][modk][:, 0, :]
+
+    for batch in loader:
+        data = shard_batch(mesh, batch["data_dict"])
+        logits = fwd(params, data)
+        valid = batch["valid"]
+        yield np.asarray(logits)[valid], batch["uid"][valid], modk
+
+
+def save_logits(model, params, loader, mesh, save_dir, save_file_name):
+    """Append action logits batch-by-batch to gzip h5 (reference :33-61)."""
+    modk = None
+    for logits, _, modk in _forward_all(model, params, loader, mesh):
+        store_append_h5({f"logits/action_{modk}": logits}, save_dir,
+                        save_file_name)
+    log.info("Saved logits logits/action_%s as %s to %s", modk,
+             save_file_name, save_dir)
+
+
+def evaluate(model, params, dataset, loader, mesh):
+    """Marginalized verb/noun/action accuracies incl. unseen/tail
+    (reference :64-98)."""
+    chunks = [logits for logits, _, _ in
+              _forward_all(model, params, loader, mesh)]
+    logits_array = np.concatenate(chunks, axis=0)
+    assert len(logits_array) == len(dataset), \
+        f"{len(logits_array)} logits vs {len(dataset)} clips"
+    accs, _ = marginalize_verb_noun(logits_array, dataset, to_prob=True,
+                                    compute_manyshot_unseen_tail=True)
+    print_accuracies_epic(accs)
+    return accs
+
+
+def main(cfg: Config):
+    dist_info = init_distributed(log)
+    transform_val = get_transforms(cfg, train=False)
+    dataset_test = get_dataset(cfg[DATASET_EVAL_CFG_KEY], cfg.data_eval,
+                               transform_val, log)
+    eval_batch = (cfg.eval.batch_size or cfg.train.batch_size * 4) * \
+        jax.local_device_count()
+    loader = BatchLoader(dataset_test, batch_size=eval_batch, shuffle=False,
+                         num_workers=cfg.workers,
+                         shard_id=dist_info["rank"],
+                         num_shards=dist_info["world_size"])
+
+    num_classes = {k: len(v) for k, v in dataset_test.classes.items()}
+    model = BaseModel(cfg.model, num_classes=num_classes,
+                      class_mappings=dataset_test.class_mappings)
+    params = model.init(jax.random.key(cfg.seed))
+
+    assert cfg.get("init_from_model") is not None, \
+        "Checkpoint is required for test."
+    ckpt_paths = cfg.init_from_model
+    if not isinstance(ckpt_paths, list):
+        ckpt_paths = [ckpt_paths]
+    ckpt_paths = [os.path.join(cfg.cwd, "checkpoints", p)
+                  for p in ckpt_paths]
+    params, _ = init_from_model(model, params, ckpt_paths, None, log)
+
+    mesh = make_mesh()
+    params = replicate_tree(mesh, params)
+
+    if cfg.get("save_name"):
+        save_dir = os.path.join(cfg.cwd, LOGITS_DIR,
+                                str(cfg.init_from_model).split("/")[0])
+        save_logits(model, params, loader, mesh, save_dir, cfg.save_name)
+    else:
+        return evaluate(model, params, dataset_test, loader, mesh)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from . import layers as L
-from ..ops.attention import multihead_attention
+from ..ops import attention as _attention_ops
 
 
 def attention_init(rng, dim, num_heads, qkv_bias=False):
@@ -38,7 +38,7 @@ def attention_apply(p, x, num_heads, attn_mask=None, *, attn_drop=0.0,
     B, N, C = x.shape
     qkv = L.linear_apply(p["qkv"], x).reshape(B, N, 3, num_heads, C // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-    out, attn = multihead_attention(
+    out, attn = _attention_ops.multihead_attention(
         q, k, v, mask=attn_mask, attn_drop=attn_drop, train=train, rng=rng,
         return_weights=need_weights)
     out = out.reshape(B, N, C)
@@ -66,7 +66,7 @@ def cross_attention_apply(p, x, mem, num_heads, attn_mask=None, *,
     q = L.linear_apply(p["w_q"], x).reshape(B, N, num_heads, hd)
     k = L.linear_apply(p["w_k"], mem).reshape(B, N, num_heads, hd)
     v = L.linear_apply(p["w_v"], mem).reshape(B, N, num_heads, hd)
-    out, _ = multihead_attention(
+    out, _ = _attention_ops.multihead_attention(
         q, k, v, mask=attn_mask, attn_drop=attn_drop, train=train, rng=rng,
         return_weights=False)
     out = out.reshape(B, N, C)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from . import layers as L
-from ..ops.attention import multihead_attention
+from ..ops import attention as _attention_ops
 
 
 class BaseFuturePredictor:
@@ -76,7 +76,7 @@ class BaseFuturePredictor:
         qkv = L.linear_apply(p["c_attn"], h)
         qkv = qkv.reshape(Bsz, T, 3, self.n_head, C // self.n_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn_out, attn_w = multihead_attention(
+        attn_out, attn_w = _attention_ops.multihead_attention(
             q, k, v, mask=mask, attn_drop=self.attn_pdrop, train=train,
             rng=rng, return_weights=collect_attn)
         attn_out = L.linear_apply(p["c_proj"], attn_out.reshape(Bsz, T, C))

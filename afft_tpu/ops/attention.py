@@ -63,6 +63,7 @@ def multihead_attention(q, k, v, mask=None, *, attn_drop=0.0, train=False,
     needs_fallback = (
         return_weights
         or (train and attn_drop > 0.0)
+        or q.shape[-1] % 128 != 0
         or not _use_pallas()
     )
     if needs_fallback:

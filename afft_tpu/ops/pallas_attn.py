@@ -4,13 +4,15 @@ AFFT attention sites are tiny in sequence (modality fusion: n<=5 tokens per
 timestep over a B*T batch; GPT-2 predictor: T<=18) and large in batch, so the
 op is HBM-bandwidth-bound. XLA's generic path materializes the
 (B, H, N, N) softmax weights in HBM; this kernel keeps qk^T, the softmax and
-the value contraction in VMEM per batch tile, writing only the (B, N, H, hd)
-output — one HBM round-trip instead of three.
+the value contraction in VMEM per batch tile, writing only the output — one
+HBM round-trip instead of three.
 
-Layout: q/k/v stay (B, N, H, hd); the grid runs (batch tiles, heads) so no
-host-visible transpose is needed. N and hd are padded to sublane/lane
-multiples in the wrapper; padded key columns are masked with -inf before the
-softmax, padded query rows are sliced off after.
+Layout: q/k/v stay (B, N, H*hd) exactly as the fused qkv matmul produces
+them (no transpose); the grid tiles the batch, each block carries the full
+(N, C) plane (satisfying the Mosaic "equal to the array dims" rule for tiny
+N), and heads are a static in-kernel loop over 128-aligned lane slices.
+Requires hd % 128 == 0 (true for every shipped config: C/H = 256 or 512);
+other shapes fall back to the XLA path in ops.attention.
 """
 
 from __future__ import annotations
@@ -27,84 +29,81 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    # blocks: (TB, Nq, 1, hd) for q/o, (TB, Nk, 1, hd) for k/v, (Nq, Nk) mask
-    q = q_ref[:, :, 0, :]
-    k = k_ref[:, :, 0, :]
-    v = v_ref[:, :, 0, :]
-    # (TB, Nq, Nk) = (TB, Nq, hd) @ (TB, Nk, hd)^T
-    attn = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    attn = attn + mask_ref[:]
-    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-    attn = jnp.exp(attn)
-    attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
-    # (TB, Nq, hd) = (TB, Nq, Nk) @ (TB, Nk, hd)
-    out = jax.lax.dot_general(
-        attn.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[:, :, 0, :] = out.astype(o_ref.dtype)
+def supported(num_heads: int, head_dim: int) -> bool:
+    return head_dim % 128 == 0
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
+                 num_heads: int, head_dim: int):
+    # blocks: (TB, Nq, C) q/o, (TB, Nk, C) k/v, (Nq, Nk) mask
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[:, :, sl]
+        kh = k_ref[:, :, sl]
+        vh = v_ref[:, :, sl]
+        attn = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        attn = attn + mask_ref[:]
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            attn.astype(vh.dtype), vh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, sl] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
 def fused_attention(q, k, v, mask=None, *, interpret=False, block_b=16):
-    """softmax((q k^T) * hd^-0.5 + mask) v  without materializing the weights.
+    """softmax((q k^T) * hd^-0.5 + mask) v  without materializing weights.
 
     Args:
-      q: (B, Nq, H, hd); k, v: (B, Nk, H, hd); mask: additive (Nq, Nk) or None.
-    Returns:
-      (B, Nq, H, hd), same dtype as q.
+      q: (B, Nq, H, hd); k, v: (B, Nk, H, hd); mask: additive (Nq, Nk) or
+      None. Returns (B, Nq, H, hd), dtype of q.
     """
     B, Nq, H, hd = q.shape
     Nk = k.shape[1]
     scale = float(hd) ** -0.5
+    assert supported(H, hd), f"pallas path needs hd%128==0, got {hd}"
 
-    sub = 8 if q.dtype == jnp.float32 else 16
-    Nqp, Nkp = _round_up(Nq, sub), _round_up(Nk, 128)
-    hdp = _round_up(hd, 128)
-    Bp = _round_up(B, block_b)
+    # (B, N, H, hd) -> (B, N, C): contiguous reshape, no data movement
+    C = H * hd
+    qr = q.reshape(B, Nq, C)
+    kr = k.reshape(B, Nk, C)
+    vr = v.reshape(B, Nk, C)
 
-    full_mask = jnp.zeros((Nqp, Nkp), jnp.float32)
-    if mask is not None:
-        full_mask = full_mask.at[:Nq, :Nk].set(mask.astype(jnp.float32))
-    if Nkp > Nk:  # padded key columns never receive weight
-        full_mask = full_mask.at[:, Nk:].set(-jnp.inf)
+    full_mask = jnp.zeros((Nq, Nk), jnp.float32) if mask is None \
+        else mask.astype(jnp.float32)
 
-    def pad(x, n_to):
-        return jnp.pad(x, ((0, Bp - B), (0, n_to - x.shape[1]), (0, 0),
-                           (0, hdp - hd)))
-
-    qp, kp, vp = pad(q, Nqp), pad(k, Nkp), pad(v, Nkp)
-
-    grid = (Bp // block_b, H)
+    grid = (pl.cdiv(B, block_b),)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((Bp, Nqp, H, hdp), q.dtype),
+        functools.partial(_attn_kernel, scale=scale, num_heads=H,
+                          head_dim=hd),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, C), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, Nqp, 1, hdp), lambda i, h: (i, 0, h, 0),
+            pl.BlockSpec((block_b, Nq, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, Nkp, 1, hdp), lambda i, h: (i, 0, h, 0),
+            pl.BlockSpec((block_b, Nk, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, Nkp, 1, hdp), lambda i, h: (i, 0, h, 0),
+            pl.BlockSpec((block_b, Nk, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Nqp, Nkp), lambda i, h: (0, 0),
+            pl.BlockSpec((Nq, Nk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, Nqp, 1, hdp),
-                               lambda i, h: (i, 0, h, 0),
+        out_specs=pl.BlockSpec((block_b, Nq, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * Bp * H * Nqp * Nkp * hdp,
-            bytes_accessed=(Bp * Nqp * H * hdp + 2 * Bp * Nkp * H * hdp
-                            + Bp * Nqp * H * hdp) * q.dtype.itemsize,
-            transcendentals=Bp * H * Nqp * Nkp,
+            flops=2 * 2 * B * Nq * Nk * C,
+            bytes_accessed=(B * Nq * C * 2 + 2 * B * Nk * C)
+            * q.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
         ),
         interpret=interpret,
-    )(qp, kp, vp, full_mask)
-    return out[:B, :Nq, :, :hd]
+    )(qr, kr, vr, full_mask)
+    return out.reshape(B, Nq, H, hd)

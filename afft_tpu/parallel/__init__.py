@@ -1,0 +1,2 @@
+from .mesh import (make_mesh, shard_batch, replicate_tree,  # noqa: F401
+                   local_device_count, init_distributed)

@@ -1,0 +1,68 @@
+"""Device mesh and sharding helpers.
+
+The reference's distributed stack — torchrun process spawn, NCCL process
+group, DistributedSampler, DDP gradient all-reduce, SyncBN
+(reference run.py:42, common/utils.py:148-192, train.py:364-368) — collapses
+on TPU into: one jax process per host, a 1-D ``Mesh`` over all chips, batch
+sharded on the ``data`` axis, params replicated. XLA inserts the gradient
+all-reduce during jit compilation; metric reduction uses the same mesh.
+
+Scaling beyond data-parallel (the models are ~390M params and fit per-chip)
+is expressed by adding named axes here; shardings are centralized so model
+code never mentions devices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(logger=None):
+    """Multi-host init (reference utils.init_distributed_mode equivalent).
+
+    Uses jax.distributed when launched with the standard coordinator env
+    vars; single-host runs need nothing.
+    """
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or \
+            "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+    info = {
+        "world_size": jax.process_count(),
+        "rank": jax.process_index(),
+        "distributed": jax.process_count() > 1,
+        "num_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+    }
+    if logger is not None:
+        logger.info("jax devices: %d global / %d local, process %d/%d",
+                    info["num_devices"], info["local_devices"],
+                    info["rank"], info["world_size"])
+    return info
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """device_put a host batch with the leading axis sharded over the mesh."""
+    def put(x):
+        spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, batch)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate params/optimizer state across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,136 @@
+"""Checkpoint save/load with working resume.
+
+Save layout mirrors the reference payload {model, optimizer, epoch}
+(reference train.py:156-167) via orbax, plus the partial/prefix-filtered
+init path of reference train.py:55-103 (init_from_model with
+modules_to_keep and shape-mismatch tolerance) — including importing the
+reference's torch .pth checkpoints. Unlike the reference, loading restores
+optimizer state and epoch, so training actually resumes (the reference
+never reloads them; SURVEY §5.3 flags this as a gap to fix).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+CKPT_BEST_DIRNAME = "checkpoint_best"
+CKPT_LAST_DIRNAME = "checkpoint_last"
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path, params, opt_state, epoch: int, step: int,
+                    best_metric: float):
+    """Rank-0-only save (callers gate on process_index)."""
+    payload = {
+        "model": jax.tree.map(np.asarray, params),
+        "optimizer": jax.tree.map(np.asarray, opt_state),
+        "epoch": epoch,
+        "step": step,
+        "best_metric": float(best_metric),
+    }
+    path = Path(path).absolute()
+    ckptr = _checkpointer()
+    ckptr.save(path, payload, force=True)
+    logging.info("Stored checkpoint at epoch %s to %s", epoch, path)
+
+
+def load_checkpoint(path) -> Dict:
+    ckptr = _checkpointer()
+    return ckptr.restore(Path(path).absolute())
+
+
+def flatten_with_paths(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_with_paths(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_with_paths(v, f"{prefix}{i}."))
+    elif tree is not None:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def merge_matching(params, loaded, modules_to_keep: Optional[List[str]] = None,
+                   logger=None):
+    """Merge loaded leaves into params where paths exist and shapes match
+    (reference init_model semantics, train.py:55-103)."""
+    logger = logger or logging.getLogger(__name__)
+    flat_params = flatten_with_paths(params)
+    flat_loaded = flatten_with_paths(loaded)
+
+    if modules_to_keep:
+        if not isinstance(modules_to_keep, (list, tuple)):
+            modules_to_keep = [modules_to_keep]
+        flat_loaded = {k: v for k, v in flat_loaded.items()
+                       if any(k.startswith(m) for m in modules_to_keep)}
+
+    used, skipped = [], []
+    for k, v in flat_loaded.items():
+        if k in flat_params and tuple(np.shape(v)) == \
+                tuple(np.shape(flat_params[k])):
+            flat_params[k] = np.asarray(v)
+            used.append(k)
+        else:
+            skipped.append(k)
+    missing = [k for k in flat_params if k not in flat_loaded]
+    if skipped:
+        logger.warning("Skipped %d ckpt keys (missing/shape mismatch): %s...",
+                       len(skipped), skipped[:5])
+    if missing:
+        logger.warning("Model keys not in ckpt: %d (e.g. %s)",
+                       len(missing), missing[:5])
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}{k}.") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return [rebuild(v, f"{prefix}{i}.") for i, v in enumerate(tree)]
+        if tree is None:
+            return None
+        return flat_params[prefix[:-1]]
+
+    return rebuild(params), used
+
+
+def init_from_model(model, params, ckpt_paths, modules_to_keep=None,
+                    logger=None):
+    """Initialize params from one or more checkpoints (torch .pth from the
+    reference, or afft orbax dirs), merged in order (reference train.py:64-75).
+    """
+    logger = logger or logging.getLogger(__name__)
+    if not isinstance(ckpt_paths, (list, tuple)):
+        ckpt_paths = [ckpt_paths]
+    used_all = []
+    for path in ckpt_paths:
+        path = str(path)
+        if path.endswith(".pth") or path.endswith(".pt"):
+            from .torch_import import load_torch_checkpoint, import_base_model
+            sd = load_torch_checkpoint(path)
+            if modules_to_keep:
+                mods = modules_to_keep if isinstance(modules_to_keep,
+                                                     (list, tuple)) \
+                    else [modules_to_keep]
+                sd = {k: v for k, v in sd.items()
+                      if any(k.startswith(m) for m in mods)}
+            loaded = import_base_model(model, sd)
+            params, used = merge_matching(params, loaded, None, logger)
+        else:
+            ckpt = load_checkpoint(path)
+            loaded = ckpt["model"] if "model" in ckpt else ckpt
+            params, used = merge_matching(params, loaded, modules_to_keep,
+                                          logger)
+        used_all += used
+        logger.info("Initialized %d tensors from %s", len(used), path)
+    return params, used_all

@@ -344,6 +344,69 @@ def main():
     outs.pop("attentions", None)
     save("base_model", bm, vid, flatten_outputs(outs))
 
+    # ---- loss stack (BasicLossAccuracy) --------------------------------------
+    from common.runner import BasicLossAccuracy
+    loss_fn = BasicLossAccuracy()
+    g = torch.Generator().manual_seed(12)
+    Bl, Tl, Cl = 6, 4, 11
+    outputs = {
+        "logits/action": {"all-fused": torch.randn(Bl, 1, Cl, generator=g)},
+        "past_logits/action": {"all-fused": torch.randn(Bl, Tl, Cl,
+                                                        generator=g)},
+        "orig_past": {"all-fused": torch.randn(Bl, Tl, 8, generator=g)},
+        "past_futures": {"all-fused": torch.randn(Bl, Tl, 8, generator=g)},
+    }
+    target = {"action": torch.tensor([0, 3, 5, 1, 10, 7])}
+    subclips = {"action": torch.tensor(
+        [[0, 0, 1, 1], [3, -1, 3, 3], [5, 5, 5, 5], [1, 1, -1, -1],
+         [10, 9, 9, 10], [7, 7, 7, 7]]).unsqueeze(-1)}
+    losses, metrics = loss_fn(outputs, target, subclips, mixup_enable=False)
+    payload = {}
+    for k, v in losses.items():
+        payload[f"loss::{k}"] = v.mean().numpy()  # _reduce_loss means
+    payload["metric::acc1"] = metrics["acc1_action_all-fused"].numpy()
+    payload["metric::acc5"] = metrics["acc5_action_all-fused"].numpy()
+    payload["mt5r::logits"] = metrics["mt5r_action_all-fused"]["logits"]
+    payload["mt5r::labels"] = metrics["mt5r_action_all-fused"]["labels"]
+    for k, v in outputs.items():
+        for mk, t in v.items():
+            payload[f"in::{k}::{mk}"] = t.numpy()
+    payload["in::target"] = target["action"].numpy()
+    payload["in::subclips"] = subclips["action"].numpy()
+    np.savez(OUTDIR / "loss_basic.npz", **payload)
+    print("saved loss_basic")
+
+    # mixup-enabled loss path: one-hot targets + ignore masks
+    from common import mixup as ref_mixup
+    mix = ref_mixup.MixUp(alpha=0.5,
+                          label_smoothing={"action": 0.4},
+                          num_classes={"action": Cl})
+    mix.mixup_beta_sampler = type("S", (), {
+        "sample": staticmethod(lambda: torch.tensor(0.3))})()
+    feats = {"rgb": torch.randn(Bl, Tl, 8, generator=g)}
+    x_out, labels_out, subclips_out, ignore_idx = mix(
+        feats, {"action": target["action"]}, subclips)
+    payload = {
+        "in::feats": feats["rgb"].numpy(),
+        "in::target": target["action"].numpy(),
+        "in::subclips": subclips["action"].numpy(),
+        "out::feats": x_out["rgb"].numpy(),
+        "out::labels": labels_out["action"].numpy(),
+        "out::subclips": subclips_out["action"].numpy(),
+        "out::ignore": ignore_idx["action"].numpy(),
+    }
+    losses2, metrics2 = loss_fn(
+        outputs, {"action": labels_out["action"]},
+        {"action": subclips_out["action"]}, mixup_enable=True,
+        target_subclips_ignore_index={"action": ignore_idx["action"]})
+    for k, v in losses2.items():
+        payload[f"loss::{k}"] = v.mean().numpy()
+    payload["metric::acc1"] = metrics2["acc1_action_all-fused"].numpy()
+    payload["mt5r::logits"] = metrics2["mt5r_action_all-fused"]["logits"]
+    payload["mt5r::labels"] = metrics2["mt5r_action_all-fused"]["labels"]
+    np.savez(OUTDIR / "loss_mixup.npz", **payload)
+    print("saved loss_mixup")
+
     print("all fixtures exported to", OUTDIR)
 
 
