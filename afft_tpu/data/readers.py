@@ -141,6 +141,41 @@ class PackedFeatureStore(FeatureStore):
             "videos": meta_videos}))
         return cls(path)
 
+    @classmethod
+    def write_stream(cls, path, rows):
+        """Streaming build from an iterator of (video, frame_id, feat_bytes)
+        grouped by video with ascending frame ids — the order an LMDB cursor
+        yields, since keys embed zero-padded frame numbers. Constant memory.
+        """
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        meta_videos = {}
+        feature_dim = None
+        offset = 0
+        cur_video, cur_count = None, 0
+        with open(path / "features.bin", "wb") as f_feat, \
+                open(path / "frame_ids.bin", "wb") as f_ids:
+            for video, fid, feat in rows:
+                feat = np.asarray(feat, np.float32)
+                if feature_dim is None:
+                    feature_dim = int(feat.shape[-1])
+                if video != cur_video:
+                    if cur_video is not None:
+                        meta_videos[cur_video] = {
+                            "row_offset": offset, "num_rows": cur_count}
+                        offset += cur_count
+                    cur_video, cur_count = video, 0
+                f_feat.write(feat.tobytes())
+                f_ids.write(np.int64(fid).tobytes())
+                cur_count += 1
+            if cur_video is not None:
+                meta_videos[cur_video] = {"row_offset": offset,
+                                          "num_rows": cur_count}
+        (path / "meta.json").write_text(json.dumps({
+            "format": cls.MAGIC, "feature_dim": feature_dim,
+            "videos": meta_videos}))
+        return cls(path)
+
     def available_frames(self, video):
         v = self.videos[video]
         o, n = v["row_offset"], v["num_rows"]

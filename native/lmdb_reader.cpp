@@ -1,0 +1,300 @@
+// Read-only LMDB (data.mdb) parser.
+//
+// The reference framework stores all pre-extracted features in LMDB
+// environments (reference datasets/reader_fns.py:54) and reads them through
+// the `lmdb` Python binding, which is not available in this image. This is a
+// from-scratch reader for the on-disk format of LMDB 0.9.x on 64-bit
+// little-endian hosts: mmap the file, pick the live meta page, walk the
+// B+tree. Returned value pointers alias the mapping (zero-copy); Python
+// binds via ctypes (afft_tpu/data/lmdb_native.py).
+//
+// Format notes (liblmdb mdb.c):
+//  - pages 0/1 are meta pages; the one with the higher txnid is live;
+//  - the page size is recorded in mm_dbs[FREE_DBI].md_pad;
+//  - page header: pgno u64, pad u16, flags u16, {lower u16, upper u16};
+//  - node: lo u16, hi u16, flags u16, ksize u16, key[], data[];
+//  - branch child pgno = lo | hi<<16 | flags<<32; leaf data size = lo|hi<<16;
+//  - F_BIGDATA leaves store an 8-byte overflow pgno after the key; overflow
+//    pages hold the value contiguously after one 16-byte header.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint32_t kMagic = 0xBEEFC0DE;
+constexpr uint16_t kPageBranch = 0x01;
+constexpr uint16_t kPageLeaf = 0x02;
+constexpr uint16_t kPageOverflow = 0x04;
+constexpr uint16_t kNodeBigData = 0x01;
+constexpr size_t kPageHdrSize = 16;
+
+struct Db {  // MDB_db, 48 bytes
+  uint32_t pad;
+  uint16_t flags;
+  uint16_t depth;
+  uint64_t branch_pages;
+  uint64_t leaf_pages;
+  uint64_t overflow_pages;
+  uint64_t entries;
+  uint64_t root;
+} __attribute__((packed));
+
+struct Meta {  // MDB_meta after the page header
+  uint32_t magic;
+  uint32_t version;
+  uint64_t address;
+  uint64_t mapsize;
+  Db dbs[2];
+  uint64_t last_pg;
+  uint64_t txnid;
+} __attribute__((packed));
+
+struct Env {
+  const uint8_t* map = nullptr;
+  size_t size = 0;
+  size_t psize = 0;
+  uint64_t root = ~0ull;
+  uint64_t entries = 0;
+  int fd = -1;
+};
+
+inline const uint8_t* page(const Env* env, uint64_t pgno) {
+  size_t off = pgno * env->psize;
+  if (off + env->psize > env->size) return nullptr;
+  return env->map + off;
+}
+
+inline uint16_t rd16(const uint8_t* p) { uint16_t v; memcpy(&v, p, 2); return v; }
+inline uint32_t rd32(const uint8_t* p) { uint32_t v; memcpy(&v, p, 4); return v; }
+inline uint64_t rd64(const uint8_t* p) { uint64_t v; memcpy(&v, p, 8); return v; }
+
+inline uint16_t page_flags(const uint8_t* pg) { return rd16(pg + 10); }
+inline size_t num_keys(const uint8_t* pg) {
+  return (rd16(pg + 12) - kPageHdrSize) >> 1;
+}
+inline const uint8_t* node_at(const uint8_t* pg, size_t i) {
+  return pg + rd16(pg + kPageHdrSize + 2 * i);
+}
+inline uint64_t branch_pgno(const uint8_t* node) {
+  return (uint64_t)rd16(node) | ((uint64_t)rd16(node + 2) << 16) |
+         ((uint64_t)rd16(node + 4) << 32);
+}
+inline size_t leaf_data_size(const uint8_t* node) {
+  return (size_t)rd16(node) | ((size_t)rd16(node + 2) << 16);
+}
+inline uint16_t node_flags(const uint8_t* node) { return rd16(node + 4); }
+inline size_t node_ksize(const uint8_t* node) { return rd16(node + 6); }
+inline const uint8_t* node_key(const uint8_t* node) { return node + 8; }
+
+// liblmdb default comparator (mdb_cmp_memn): memcmp, shorter key first
+int cmp_keys(const uint8_t* a, size_t alen, const uint8_t* b, size_t blen) {
+  size_t n = alen < blen ? alen : blen;
+  int r = memcmp(a, b, n);
+  if (r) return r;
+  return (alen < blen) ? -1 : (alen > blen ? 1 : 0);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* afft_lmdb_open(const char* path) {
+  std::string fname = std::string(path);
+  struct stat st;
+  if (stat(fname.c_str(), &st) == 0 && S_ISDIR(st.st_mode)) {
+    fname += "/data.mdb";
+  }
+  int fd = open(fname.c_str(), O_RDONLY);
+  if (fd < 0) return nullptr;
+  if (fstat(fd, &st) != 0 || st.st_size < (off_t)(2 * 4096)) {
+    close(fd);
+    return nullptr;
+  }
+  void* map = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+  if (map == MAP_FAILED) {
+    close(fd);
+    return nullptr;
+  }
+  auto* env = new Env();
+  env->map = static_cast<const uint8_t*>(map);
+  env->size = st.st_size;
+  env->fd = fd;
+
+  // meta candidate on page 0 carries the page size; validate both metas
+  const Meta* m0 = reinterpret_cast<const Meta*>(env->map + kPageHdrSize);
+  if (m0->magic != kMagic) {
+    delete env;
+    munmap(map, st.st_size);
+    close(fd);
+    return nullptr;
+  }
+  env->psize = m0->dbs[0].pad;
+  if (env->psize < 512 || env->psize > (1u << 16)) env->psize = 4096;
+  const Meta* m1 =
+      reinterpret_cast<const Meta*>(env->map + env->psize + kPageHdrSize);
+  const Meta* live = (m1->magic == kMagic && m1->txnid > m0->txnid) ? m1 : m0;
+  env->root = live->dbs[1].root;
+  env->entries = live->dbs[1].entries;
+  return env;
+}
+
+void afft_lmdb_close(void* handle) {
+  auto* env = static_cast<Env*>(handle);
+  if (!env) return;
+  munmap(const_cast<uint8_t*>(env->map), env->size);
+  close(env->fd);
+  delete env;
+}
+
+uint64_t afft_lmdb_entries(void* handle) {
+  return static_cast<Env*>(handle)->entries;
+}
+
+// Returns 1 and sets (*val, *vlen) on hit; 0 on miss; -1 on corruption.
+int afft_lmdb_get(void* handle, const uint8_t* key, size_t klen,
+                  const uint8_t** val, size_t* vlen) {
+  auto* env = static_cast<Env*>(handle);
+  if (env->root == ~0ull) return 0;  // empty db
+  const uint8_t* pg = page(env, env->root);
+  if (!pg) return -1;
+  for (int depth = 0; depth < 64; ++depth) {
+    uint16_t flags = page_flags(pg);
+    size_t n = num_keys(pg);
+    if (flags & kPageBranch) {
+      // find last child whose key <= search key (child 0 key is empty)
+      size_t lo = 1, hi = n, child = 0;
+      while (lo < hi) {
+        size_t mid = (lo + hi) / 2;
+        const uint8_t* node = node_at(pg, mid);
+        int c = cmp_keys(key, klen, node_key(node), node_ksize(node));
+        if (c < 0) hi = mid; else lo = mid + 1;
+      }
+      child = lo - 1;
+      pg = page(env, branch_pgno(node_at(pg, child)));
+      if (!pg) return -1;
+      continue;
+    }
+    if (flags & kPageLeaf) {
+      size_t lo = 0, hi = n;
+      while (lo < hi) {
+        size_t mid = (lo + hi) / 2;
+        const uint8_t* node = node_at(pg, mid);
+        int c = cmp_keys(key, klen, node_key(node), node_ksize(node));
+        if (c == 0) {
+          size_t dsize = leaf_data_size(node);
+          if (node_flags(node) & kNodeBigData) {
+            uint64_t opg = rd64(node_key(node) + node_ksize(node));
+            const uint8_t* ov = page(env, opg);
+            if (!ov) return -1;
+            *val = ov + kPageHdrSize;
+          } else {
+            *val = node_key(node) + node_ksize(node);
+          }
+          *vlen = dsize;
+          return 1;
+        }
+        if (c < 0) hi = mid; else lo = mid + 1;
+      }
+      return 0;
+    }
+    return -1;  // unexpected page type
+  }
+  return -1;
+}
+
+// --- full scan (for the packer) -------------------------------------------
+
+struct Cursor {
+  Env* env;
+  // stack of (pgno, index) down the tree
+  uint64_t pgnos[64];
+  size_t idxs[64];
+  int depth = -1;
+  bool done = false;
+};
+
+void* afft_lmdb_cursor_open(void* handle) {
+  auto* env = static_cast<Env*>(handle);
+  auto* cur = new Cursor();
+  cur->env = env;
+  if (env->root == ~0ull) {
+    cur->done = true;
+    return cur;
+  }
+  // descend to leftmost leaf
+  uint64_t pgno = env->root;
+  while (true) {
+    const uint8_t* pg = page(env, pgno);
+    if (!pg) { cur->done = true; return cur; }
+    cur->depth += 1;
+    cur->pgnos[cur->depth] = pgno;
+    cur->idxs[cur->depth] = 0;
+    if (page_flags(pg) & kPageLeaf) break;
+    pgno = branch_pgno(node_at(pg, 0));
+  }
+  return cur;
+}
+
+int afft_lmdb_cursor_next(void* handle, const uint8_t** key, size_t* klen,
+                          const uint8_t** val, size_t* vlen) {
+  auto* cur = static_cast<Cursor*>(handle);
+  if (cur->done) return 0;
+  Env* env = cur->env;
+  const uint8_t* pg = page(env, cur->pgnos[cur->depth]);
+  size_t i = cur->idxs[cur->depth];
+  if (i >= num_keys(pg)) {
+    // pop until we can advance a branch index
+    while (true) {
+      cur->depth -= 1;
+      if (cur->depth < 0) { cur->done = true; return 0; }
+      const uint8_t* parent = page(env, cur->pgnos[cur->depth]);
+      size_t pi = cur->idxs[cur->depth] + 1;
+      if (pi < num_keys(parent)) {
+        cur->idxs[cur->depth] = pi;
+        uint64_t pgno = branch_pgno(node_at(parent, pi));
+        // descend leftmost
+        while (true) {
+          const uint8_t* child = page(env, pgno);
+          if (!child) { cur->done = true; return 0; }
+          cur->depth += 1;
+          cur->pgnos[cur->depth] = pgno;
+          cur->idxs[cur->depth] = 0;
+          if (page_flags(child) & kPageLeaf) break;
+          pgno = branch_pgno(node_at(child, 0));
+        }
+        pg = page(env, cur->pgnos[cur->depth]);
+        i = 0;
+        break;
+      }
+    }
+  }
+  const uint8_t* node = node_at(pg, i);
+  *key = node_key(node);
+  *klen = node_ksize(node);
+  size_t dsize = leaf_data_size(node);
+  if (node_flags(node) & kNodeBigData) {
+    uint64_t opg = rd64(node_key(node) + node_ksize(node));
+    const uint8_t* ov = page(env, opg);
+    if (!ov) { cur->done = true; return 0; }
+    *val = ov + kPageHdrSize;
+  } else {
+    *val = node_key(node) + node_ksize(node);
+  }
+  *vlen = dsize;
+  cur->idxs[cur->depth] = i + 1;
+  return 1;
+}
+
+void afft_lmdb_cursor_close(void* handle) {
+  delete static_cast<Cursor*>(handle);
+}
+
+}  // extern "C"
