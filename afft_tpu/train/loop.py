@@ -36,6 +36,7 @@ from .checkpoint import (CKPT_BEST_DIRNAME, CKPT_LAST_DIRNAME,
 from .metrics import MetricTracker
 from .mixup import MixUp
 from .runner import Runner, metrics_to_host
+from ..utils.logging import ExperimentLogger, ProfilerHook, human_format
 
 DATASET_TRAIN_CFG_KEY = "dataset_train"
 DATASET_EVAL_CFG_KEY = "dataset_eval"
@@ -115,7 +116,7 @@ def build_schedule(cfg, iters_per_epoch, world_size):
 
 def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
                   *, is_training, lr_schedule=None, base_lr=None,
-                  step_counter=0, rng=None, log_every=200):
+                  step_counter=0, rng=None, log_every=200, profiler=None):
     t_dl = time.perf_counter()
     for idx, batch in enumerate(loader):
         dl_time = time.perf_counter() - t_dl
@@ -130,6 +131,8 @@ def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
             params, opt_state, losses, metrics = runner.train_step(
                 params, opt_state, device_batch, lr, base_lr, step_key)
             step_counter += 1
+            if profiler is not None:
+                profiler.step(step_counter)
         else:
             losses, metrics, _ = runner.eval_step(params, device_batch)
         host_metrics = metrics_to_host(losses, metrics)
@@ -164,7 +167,18 @@ def main(cfg: Config, interactive: bool = True):
     rng, init_key = jax.random.split(rng)
     params = model.init(init_key)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    log.info("Model: %s with %.1fM params", experiment_name, n_params / 1e6)
+    log.info("Model: %s with %s params", experiment_name,
+             human_format(n_params))
+
+    exp_logger = None
+    profiler = ProfilerHook(cfg.get("profile_dir"),
+                            int(cfg.get("profile_start_step", 10)),
+                            int(cfg.get("profile_stop_step", 20)))
+    if is_master:
+        exp_logger = ExperimentLogger(
+            ckpt_path, cfg.get("project_name", "Anticipation"),
+            experiment_name, use_wandb=bool(cfg.get("use_wandb", True)),
+            config=cfg.to_container(resolve=True))
 
     if cfg.get("init_from_model"):
         paths = cfg.init_from_model
@@ -219,7 +233,7 @@ def main(cfg: Config, interactive: bool = True):
         params, opt_state, step_counter, rng = run_one_epoch(
             runner, mesh, params, opt_state, loader_train, metric_tracker,
             is_training=True, lr_schedule=lr_schedule, base_lr=cfg.opt.lr,
-            step_counter=step_counter, rng=rng)
+            step_counter=step_counter, rng=rng, profiler=profiler)
         params, opt_state, _, _ = run_one_epoch(
             runner, mesh, params, opt_state, loader_val, metric_tracker,
             is_training=False)
@@ -236,5 +250,13 @@ def main(cfg: Config, interactive: bool = True):
                                 best_metric)
             save_checkpoint(last_path, params, opt_state, epoch + 1,
                             step_counter, best_metric)
+            exp_logger.log({
+                **metric_tracker.get_all_data(is_training=True),
+                **metric_tracker.get_all_data(is_training=False),
+                "lr": lr,
+            }, step=epoch + 1)
+    profiler.close()
+    if is_master and exp_logger is not None:
+        exp_logger.summary(cfg.primary_metric, best_metric)
     log.info("Best %s: %s", cfg.primary_metric, best_metric)
     return best_metric
