@@ -165,6 +165,26 @@ class FeatureClipDataset:
                                              self.label_type) \
             if load_seg_labels else None
 
+        if compute_dataset_stats:
+            self.classes_counts = self._compute_stats_cls_counts()
+            logging.debug("classes counts: %s", self.classes_counts)
+
+    def _compute_stats_cls_counts(self):
+        """Per-class sample counts incl. the -1 bucket
+        (reference base_video_dataset.py:190-209)."""
+        all_counts = {}
+        for tname, tclasses in self.classes.items():
+            col = tname + "_class"
+            if col not in self.df:
+                logging.warning("No %s column for dataset stats", col)
+                continue
+            lbls = np.asarray(self.df[col].values)
+            counts = {cls_id: int((lbls == cls_id).sum())
+                      for cls_id in [-1] + list(tclasses.values())}
+            assert sum(counts.values()) == len(self.df)
+            all_counts[tname] = counts
+        return all_counts
+
     # ------------------------------------------------------------------
     @property
     def classes(self) -> OrderedDict:
@@ -295,3 +315,37 @@ class FeatureClipDataset:
 
     def __getitem__(self, idx):
         return self.get_item(idx), {}
+
+
+class ConcatClipDataset:
+    """Concatenation of multiple clip datasets (multi-dataset training,
+    reference train.py:113-116). Class vocabularies come from the first
+    dataset; all parts must share them."""
+
+    def __init__(self, datasets: List[FeatureClipDataset]):
+        assert datasets, "need at least one dataset"
+        self.datasets = datasets
+        self._cum = np.cumsum([len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self._cum[-1])
+
+    def get_item(self, idx: int):
+        ds_i = int(np.searchsorted(self._cum, idx, side="right"))
+        local = idx - (0 if ds_i == 0 else int(self._cum[ds_i - 1]))
+        return self.datasets[ds_i].get_item(local)
+
+    def __getitem__(self, idx):
+        return self.get_item(idx), {}
+
+    @property
+    def classes(self):
+        return self.datasets[0].classes
+
+    @property
+    def classes_manyshot(self):
+        return self.datasets[0].classes_manyshot
+
+    @property
+    def class_mappings(self):
+        return self.datasets[0].class_mappings

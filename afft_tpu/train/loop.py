@@ -82,8 +82,11 @@ def build_dataloaders(cfg, dist_info):
         get_dataset(cfg[el], cfg.data_train, transforms_train, log)
         for el in cfg.keys() if el.startswith(DATASET_TRAIN_CFG_KEY)
     ]
-    assert len(datasets_train) == 1, "concat datasets not yet supported"
-    dataset_train = datasets_train[0]
+    if len(datasets_train) > 1:
+        from ..data.dataset import ConcatClipDataset
+        dataset_train = ConcatClipDataset(datasets_train)
+    else:
+        dataset_train = datasets_train[0]
     dataset_val = get_dataset(cfg[DATASET_EVAL_CFG_KEY], cfg.data_eval,
                               transforms_val, log)
 

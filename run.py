@@ -18,7 +18,7 @@ def parse_args():
     parser.add_argument("-c", "--cfg", type=str, required=True,
                         help="Overrides config file")
     parser.add_argument("-m", "--mode", type=str, required=True,
-                        choices=["train", "test"],
+                        choices=["train", "test", "visualize_attention"],
                         help="Choose which entry point to run")
     parser.add_argument("-n", "--nproc_per_node", type=int, default=1,
                         required=False,
