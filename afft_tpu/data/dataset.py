@@ -280,7 +280,11 @@ class FeatureClipDataset:
         tfm = self.transforms.get(mod)
         if tfm is not None:
             feats = tfm(feats)
-        return {"feats": feats.astype(np.float32), "frame_sec": frame_sec}
+        # keep reduced-precision stores (bf16 packed) as-is: transfer bytes
+        # are the serving bottleneck; fp64 intermediates drop to fp32
+        if feats.dtype == np.float64:
+            feats = feats.astype(np.float32)
+        return {"feats": feats, "frame_sec": frame_sec}
 
     def _get_labels(self, row) -> OrderedDict:
         labels = OrderedDict()

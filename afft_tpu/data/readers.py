@@ -101,22 +101,36 @@ class PackedFeatureStore(FeatureStore):
 
     MAGIC = "afft-fdb-v1"
 
+    @staticmethod
+    def _dtype(name: str):
+        if name == "bfloat16":
+            import ml_dtypes
+            return np.dtype(ml_dtypes.bfloat16)
+        return np.dtype(name)
+
     def __init__(self, path: Union[str, Path]):
         path = Path(path)
         meta = json.loads((path / "meta.json").read_text())
         assert meta.get("format") == self.MAGIC, f"not a packed store: {path}"
         self.feature_dim = meta["feature_dim"]
         self.videos = meta["videos"]
+        self.dtype = self._dtype(meta.get("dtype", "float32"))
         total = sum(v["num_rows"] for v in self.videos.values())
-        self.features = np.memmap(path / "features.bin", dtype=np.float32,
+        self.features = np.memmap(path / "features.bin", dtype=self.dtype,
                                   mode="r", shape=(total, self.feature_dim))
         self.frame_ids = np.memmap(path / "frame_ids.bin", dtype=np.int64,
                                    mode="r", shape=(total,))
 
     @classmethod
     def write(cls, path: Union[str, Path],
-              videos: Dict[str, Dict[int, np.ndarray]]):
-        """Build a packed store from {video: {frame_id: (F,) feature}}."""
+              videos: Dict[str, Dict[int, np.ndarray]],
+              dtype: str = "float32"):
+        """Build a packed store from {video: {frame_id: (F,) feature}}.
+
+        ``dtype='bfloat16'`` halves the store and, more importantly, the
+        host->device transfer bytes of the serving path (features originate
+        as fp32; bf16 keeps 8 mantissa bits, well inside model tolerance).
+        """
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         names = sorted(videos)
@@ -133,16 +147,16 @@ class PackedFeatureStore(FeatureStore):
             meta_videos[name] = {"row_offset": offset,
                                  "num_rows": len(frames)}
             offset += len(frames)
-        np.concatenate([f[None] for f in feats]).astype(np.float32)\
-            .tofile(path / "features.bin")
+        np.concatenate([f[None] for f in feats]).astype(
+            cls._dtype(dtype)).tofile(path / "features.bin")
         np.asarray(ids, np.int64).tofile(path / "frame_ids.bin")
         (path / "meta.json").write_text(json.dumps({
             "format": cls.MAGIC, "feature_dim": feature_dim,
-            "videos": meta_videos}))
+            "dtype": dtype, "videos": meta_videos}))
         return cls(path)
 
     @classmethod
-    def write_stream(cls, path, rows):
+    def write_stream(cls, path, rows, dtype: str = "float32"):
         """Streaming build from an iterator of (video, frame_id, feat_bytes)
         grouped by video with ascending frame ids — the order an LMDB cursor
         yields, since keys embed zero-padded frame numbers. Constant memory.
@@ -152,11 +166,12 @@ class PackedFeatureStore(FeatureStore):
         meta_videos = {}
         feature_dim = None
         offset = 0
+        np_dtype = cls._dtype(dtype)
         cur_video, cur_count = None, 0
         with open(path / "features.bin", "wb") as f_feat, \
                 open(path / "frame_ids.bin", "wb") as f_ids:
             for video, fid, feat in rows:
-                feat = np.asarray(feat, np.float32)
+                feat = np.asarray(feat).astype(np_dtype)
                 if feature_dim is None:
                     feature_dim = int(feat.shape[-1])
                 if video != cur_video:
@@ -173,7 +188,7 @@ class PackedFeatureStore(FeatureStore):
                                           "num_rows": cur_count}
         (path / "meta.json").write_text(json.dumps({
             "format": cls.MAGIC, "feature_dim": feature_dim,
-            "videos": meta_videos}))
+            "dtype": dtype, "videos": meta_videos}))
         return cls(path)
 
     def available_frames(self, video):
@@ -187,8 +202,8 @@ class PackedFeatureStore(FeatureStore):
         avail = self.frame_ids[o:o + n]
         rows, found = resolve_backward(avail, np.asarray(frame_ids))
         assert found.any(), f"No features found for {video} - {frame_ids}"
-        out = self.features[o + rows]  # vectorized gather from the memmap
-        out = np.where(found[:, None], out, 0.0).astype(np.float32)
+        out = np.asarray(self.features[o + rows])  # vectorized memmap gather
+        out[~found] = 0
         return out
 
 

@@ -160,3 +160,22 @@ def test_batch_loader_shapes_and_padding(synth_dataset):
     # all uids seen exactly once among valid rows
     uids = np.concatenate([b["uid"][b["valid"]] for b in batches])
     assert len(np.unique(uids)) == len(synth_dataset)
+
+
+def test_packed_store_bf16_roundtrip(tmp_path):
+    """bf16 packed stores serve reduced-precision features correctly
+    (halved transfer bytes on the serving path)."""
+    import ml_dtypes
+    from afft_tpu.data.readers import PackedFeatureStore
+    rng = np.random.default_rng(0)
+    table = {"vidX": {i: rng.standard_normal(32).astype(np.float32)
+                      for i in range(1, 50)}}
+    store = PackedFeatureStore.write(tmp_path / "bf16", table,
+                                     dtype="bfloat16")
+    assert store.dtype == np.dtype(ml_dtypes.bfloat16)
+    out = store.get_frames("vidX", np.array([1, 10, 49]))
+    assert out.dtype == np.dtype(ml_dtypes.bfloat16)
+    for i, fid in enumerate([1, 10, 49]):
+        np.testing.assert_allclose(
+            np.asarray(out[i], np.float32),
+            table["vidX"][fid].astype(ml_dtypes.bfloat16).astype(np.float32))

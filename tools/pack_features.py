@@ -46,7 +46,7 @@ def iter_lmdb(src):
     env.close()
 
 
-def pack_one(src, dst):
+def pack_one(src, dst, dtype="float32"):
     from afft_tpu.data.readers import PackedFeatureStore
 
     def rows():
@@ -62,7 +62,7 @@ def pack_one(src, dst):
             if n % 500000 == 0:
                 print(f"  {n} rows...", flush=True)
 
-    store = PackedFeatureStore.write_stream(dst, rows())
+    store = PackedFeatureStore.write_stream(dst, rows(), dtype=dtype)
     print(f"packed {src} -> {dst}: {len(store.frame_ids)} rows, "
           f"F={store.feature_dim}, {len(store.videos)} videos")
 
@@ -73,13 +73,17 @@ def main():
     ap.add_argument("dst")
     ap.add_argument("--root", action="store_true",
                     help="treat SRC as a root of modality subdirs")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="storage dtype; bfloat16 halves store size and "
+                         "host->device transfer bytes")
     args = ap.parse_args()
     if args.root:
         for sub in sorted(Path(args.src).iterdir()):
             if sub.is_dir():
-                pack_one(sub, Path(args.dst) / sub.name)
+                pack_one(sub, Path(args.dst) / sub.name, args.dtype)
     else:
-        pack_one(args.src, args.dst)
+        pack_one(args.src, args.dst, args.dtype)
 
 
 if __name__ == "__main__":
