@@ -1,0 +1,94 @@
+"""Parameter sharding rules for model parallelism.
+
+The flagship model (~390M params) fits on one chip, so data-parallel is the
+default (SURVEY §2.5: the reference's only strategy is DDP). For larger
+variants or small-chip pools, these rules add Megatron-style tensor
+parallelism over a ``model`` mesh axis without touching model code: params
+are placed with NamedShardings by path pattern and GSPMD partitions the
+matmuls (column-parallel first projection, row-parallel second, sharded
+classifier vocab) and inserts the reduce-scatters/all-reduces.
+
+Usage:
+    mesh = make_mesh_2d(dp, tp)                       # axes ('data','model')
+    params = shard_params(mesh, params, TP_RULES)
+    batch  = shard_batch(mesh, batch)                 # 'data' axis
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, PartitionSpec) — first match wins; default = replicated.
+# Paths are '.'-joined pytree keys, e.g.
+#   future_predictor.classifiers.action.shared.w
+#   future_predictor.future_predictor.shared.blocks.0.c_fc.w
+TP_RULES: List[Tuple[str, P]] = [
+    # classifier heads: shard the class dim (3806 actions)
+    (r".*classifiers\..*\.w$", P(None, "model")),
+    (r".*classifiers\..*\.b$", P("model")),
+    # GPT-2 MLP: column-parallel c_fc, row-parallel mlp_c_proj
+    (r".*blocks\.\d+\.c_fc\.w$", P(None, "model")),
+    (r".*blocks\.\d+\.c_fc\.b$", P("model")),
+    (r".*blocks\.\d+\.mlp_c_proj\.w$", P("model", None)),
+    # GPT-2 attention: qkv column-parallel (heads split), proj row-parallel
+    (r".*blocks\.\d+\.c_attn\.w$", P(None, "model")),
+    (r".*blocks\.\d+\.c_attn\.b$", P("model")),
+    (r".*blocks\.\d+\.c_proj\.w$", P("model", None)),
+    # fuser MLPs: column/row parallel
+    (r".*\.mlp\.fc1\.w$", P(None, "model")),
+    (r".*\.mlp\.fc1\.b$", P("model")),
+    (r".*\.mlp\.fc2\.w$", P("model", None)),
+]
+
+
+def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, \
+        f"need {dp * tp} devices, have {len(devices)}"
+    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("data", "model"))
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
+def spec_for_path(path: str, rules=TP_RULES) -> P:
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            return spec
+    return P()
+
+
+def shard_params(mesh: Mesh, params, rules=TP_RULES):
+    """Place params on the mesh per the rules (replicated by default).
+
+    A spec is applied only when the dimension divides evenly over the axis;
+    otherwise the leaf stays replicated (e.g. tiny test dims)."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def place(path, leaf):
+        spec = spec_for_path(_path_str(path), rules)
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            if dim >= np.ndim(leaf) or \
+                    leaf.shape[dim] % axis_sizes[axis] != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -156,3 +156,73 @@ def test_eval_step_deterministic():
     l2, m2, logits2 = runner.eval_step(params, db)
     np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits2))
     assert float(l1["total_loss"]) == float(l2["total_loss"])
+
+
+def test_tensor_parallel_matches_replicated():
+    """TP-sharded params (2-D data x model mesh) must produce the same loss
+    and updates as fully replicated params — GSPMD partitioning is
+    semantically invisible."""
+    from afft_tpu.parallel.sharding import make_mesh_2d, shard_params
+    cfg = tiny_cfg()
+    batch = make_batch(cfg)
+    results = {}
+    for mode in ("dp", "tp"):
+        model, params, opt_state, runner = build_runner(cfg, mixup=False,
+                                                        donate=False)
+        if mode == "dp":
+            mesh = make_mesh(jax.devices()[:8])
+            p = replicate_tree(mesh, params)
+            s = replicate_tree(mesh, opt_state)
+        else:
+            mesh = make_mesh_2d(4, 2)
+            p = shard_params(mesh, params)
+            s = {"momentum": shard_params(mesh, opt_state["momentum"]),
+                 "step": replicate_tree(mesh, opt_state["step"])}
+        db = shard_batch(mesh, batch)
+        p, s, losses, _ = runner.train_step(p, s, db, 0.01, 0.01,
+                                            jax.random.key(1))
+        results[mode] = (float(losses["total_loss"]),
+                         np.asarray(jax.tree.leaves(p)[0]))
+    assert np.isclose(results["dp"][0], results["tp"][0], rtol=1e-5)
+    np.testing.assert_allclose(results["dp"][1], results["tp"][1],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multi_target_labels():
+    """label_type=[verb, noun, action]: three classifier heads, three loss
+    groups, marginalization-free multi-target training (reference supports
+    label_type lists, base_video_dataset.py:148-149)."""
+    cfg = tiny_cfg()
+    n_cls = {"verb": 5, "noun": 7, "action": 13}
+    model = BaseModel(cfg.model, num_classes=n_cls)
+    params = model.init(jax.random.key(0))
+    groups = O.build_group_tree(params, None, 0.01, 1e-6)
+    opt = O.sgd(momentum=0.9, nesterov=True)
+    opt_state = opt.init(params, groups)
+    mix = MixUp(alpha=0.1,
+                label_smoothing={"verb": 0.01, "noun": 0.03, "action": 0.4},
+                num_classes=n_cls)
+    runner = Runner(model, opt, groups,
+                    loss_wts={"cls_action": 1.0, "cls_verb": 1.0,
+                              "cls_noun": 1.0, "past_cls_action": 1.0,
+                              "past_cls_verb": 1.0, "past_cls_noun": 1.0,
+                              "past_reg": 1.0}, mixup=mix)
+    rng = np.random.default_rng(0)
+    B, T = 8, 6
+    dims = cfg.model.modal_dims.to_container()
+    batch = {
+        "data_dict": {m: rng.standard_normal((B, T, d)).astype(np.float32)
+                      for m, d in dims.items()},
+        "target": {t: rng.integers(0, n, (B,)) for t, n in n_cls.items()},
+        "target_subclips": {t: rng.integers(-1, n, (B, T, 1))
+                            for t, n in n_cls.items()},
+        "valid": np.ones((B,), bool),
+    }
+    mesh = make_mesh(jax.devices()[:1])
+    db = shard_batch(mesh, batch)
+    params, opt_state, losses, metrics = runner.train_step(
+        params, opt_state, db, 0.01, 0.01, jax.random.key(1))
+    for t in n_cls:
+        assert f"cls_{t}_all-fused" in losses
+        assert f"past_cls_{t}_all-fused" in losses
+        assert np.isfinite(float(losses[f"cls_{t}_all-fused"]))
