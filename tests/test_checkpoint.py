@@ -1,0 +1,139 @@
+"""Checkpoint round-trip, partial init, torch import merge, grad clip,
+multi-step rollout config."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from afft_tpu.config import compose
+from afft_tpu.models import BaseModel
+from afft_tpu.train import optim as O
+from afft_tpu.train.checkpoint import (init_from_model, load_checkpoint,
+                                       merge_matching, save_checkpoint)
+
+CONF = "afft_tpu/conf"
+
+
+def _tiny_model():
+    cfg = compose(CONF, [
+        "model.modal_dims={rgb:32, flow:32}",
+        "model.common_dim=32",
+        "model.common.fp_inter_dim=64",
+        "model.common.fp_layers=2",
+        "model.common.fp_heads=2",
+        "model.fuser.depth=2",
+        "model.fuser.num_heads=2",
+    ])
+    model = BaseModel(cfg.model, num_classes={"action": 11})
+    return cfg, model
+
+
+def test_checkpoint_roundtrip_identical_logits(tmp_path):
+    cfg, model = _tiny_model()
+    params = model.init(jax.random.key(0))
+    groups = O.build_group_tree(params, None, 0.01, 1e-6)
+    opt = O.sgd(momentum=0.9)
+    opt_state = opt.init(params, groups)
+
+    path = tmp_path / "ckpt"
+    save_checkpoint(path, params, opt_state, epoch=3, step=42,
+                    best_metric=1.5)
+    ckpt = load_checkpoint(path)
+    assert int(ckpt["epoch"]) == 3 and int(ckpt["step"]) == 42
+    assert float(ckpt["best_metric"]) == 1.5
+
+    feats = {m: jnp.ones((2, 5, 32)) for m in ("rgb", "flow")}
+    out1, _ = model.apply(params, feats)
+    out2, _ = model.apply(ckpt["model"], feats)
+    np.testing.assert_array_equal(
+        np.asarray(out1["logits/action"]["all-fused"]),
+        np.asarray(out2["logits/action"]["all-fused"]))
+    # optimizer state round-trips too (working resume)
+    m1 = jax.tree.leaves(opt_state["momentum"])[0]
+    m2 = jax.tree.leaves(ckpt["optimizer"]["momentum"])[0]
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_partial_init_prefix_filter(tmp_path):
+    """modules_to_keep prefix filtering + shape-mismatch tolerance
+    (reference train.py:55-103 semantics)."""
+    cfg, model = _tiny_model()
+    src = model.init(jax.random.key(1))
+    dst = model.init(jax.random.key(2))
+
+    merged, used = merge_matching(dst, src,
+                                  modules_to_keep=["future_predictor.fuser"])
+    # fuser leaves copied, everything else untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged["future_predictor"]["fuser"]["modal_token"]),
+        np.asarray(src["future_predictor"]["fuser"]["modal_token"]))
+    assert not np.allclose(
+        np.asarray(merged["future_predictor"]["dim_encoder"]["w"]),
+        np.asarray(src["future_predictor"]["dim_encoder"]["w"]))
+    assert all(k.startswith("future_predictor.fuser") for k in used)
+
+
+def test_init_from_torch_pth(tmp_path, fixtures):
+    """A torch-format .pth loads straight into params via init_from_model."""
+    import torch
+    sd, ins, outs = fixtures("base_model")
+    ckpt_path = tmp_path / "ref.pth"
+    torch.save({"model": {k: torch.from_numpy(np.array(v))
+                          for k, v in sd.items()}}, ckpt_path)
+
+    cfg = {
+        "modal_dims": {"rgb": 48, "objects": 20, "flow": 48},
+        "modal_feature_order": ["rgb", "objects", "audio", "poses", "flow"],
+        "dropout": 0.2,
+        "common": {"in_features": 48, "fp_inter_dim": 64, "fp_output_len": 1,
+                   "share_classifiers": True, "share_predictors": True,
+                   "modality_cls": False, "fusion_cls": True,
+                   "backbones": None},
+        "mapping": {"_target_": "models.feature_mapping.Linear",
+                    "use_layernorm": False, "sparse_mapping": True},
+        "fuser": {"_target_": "models.fusion.ModalTokenCMFuser", "dim": 48,
+                  "depth": 2, "num_heads": 4,
+                  "modalities": {"rgb": 48, "objects": 20, "flow": 48}},
+        "future_predictor": {
+            "_target_": "models.future_prediction.BaseFuturePredictor",
+            "in_features": 48, "inter_dim": 64, "n_layer": 2, "n_head": 2,
+            "embd_pdrop": 0.1, "resid_pdrop": 0.1, "attn_pdrop": 0.1,
+            "output_attentions": False},
+        "CMFP": {"_target_": "models.future_prediction.CMFPEarly",
+                 "model_cfg": None},
+    }
+    model = BaseModel(cfg, num_classes={"action": 17, "verb": 7, "noun": 9})
+    params = model.init(jax.random.key(0))
+    params, used = init_from_model(model, params, [str(ckpt_path)])
+    assert len(used) > 30
+    video = {m: jnp.asarray(ins[m]) for m in ("rgb", "objects", "flow")}
+    out, _ = model.apply(params, video)
+    np.testing.assert_allclose(
+        np.asarray(out["logits/action"]["all-fused"]),
+        outs["logits/action//all-fused"], rtol=1e-5, atol=2e-5)
+
+
+def test_grad_clip_limits_update_norm():
+    from afft_tpu.train.runner import clip_by_global_norm
+    grads = {"a": jnp.full((10,), 100.0), "b": jnp.full((5,), -50.0)}
+    clipped = clip_by_global_norm(grads, 1.0)
+    total = np.sqrt(sum(float((np.asarray(g) ** 2).sum())
+                        for g in jax.tree.leaves(clipped)))
+    assert total <= 1.0 + 1e-4
+
+
+def test_fp_output_len_rollout_config():
+    """fp_output_len > 1: multi-step future rollout through CMFP
+    (reference models/future_prediction.py:387-415)."""
+    cfg, _ = _tiny_model()
+    cfg.model.common.set("fp_output_len", 3)
+    model = BaseModel(cfg.model, num_classes={"action": 11})
+    params = model.init(jax.random.key(0))
+    feats = {m: jnp.ones((2, 5, 32)) for m in ("rgb", "flow")}
+    out, _ = model.apply(params, feats)
+    # future = z_hat[:, T-1:] -> (B, output_len, C); logits follow
+    assert out["future"]["all-fused"].shape == (2, 3, 32)
+    assert out["logits/action"]["all-fused"].shape == (2, 3, 11)
+    assert out["past_futures"]["all-fused"].shape == (2, 5, 32)

@@ -58,7 +58,16 @@ def make_synthetic(root, seed=0, n_videos=4, segments_per_video=20,
             for r in chunk:
                 f.write(",".join(str(x) for x in r) + "\n")
 
-    # per-frame features with missing frames
+    # per-frame features with missing frames. Frames preceding each action
+    # carry a class-dependent component so anticipation is actually
+    # learnable (used by the end-to-end convergence test); base noise keeps
+    # the task non-trivial.
+    class_sig = {mod: np.random.default_rng(hash(("sig", mod)) % (2 ** 31))
+                 .standard_normal((len(actions), feat_dim)).astype(np.float32)
+                 for mod in modalities}
+    rows_by_video = {}
+    for r in rows:
+        rows_by_video.setdefault(r[1], []).append(r)
     feats = {}
     for mod in modalities:
         table = {}
@@ -70,8 +79,14 @@ def make_synthetic(root, seed=0, n_videos=4, segments_per_video=20,
             keep[gap_at:gap_at + 15] = False          # gap > search radius
             frame_ids = frame_ids[keep]
             g = np.random.default_rng(hash((mod, vid)) % (2 ** 31))
-            table[vid] = {int(fid): g.standard_normal(feat_dim).astype(
-                np.float32) for fid in frame_ids}
+            base = {int(fid): g.standard_normal(feat_dim).astype(np.float32)
+                    for fid in frame_ids}
+            for (_, _, s, _, _, _, a) in rows_by_video.get(vid, []):
+                lo, hi = max(1, s - int(12 * fps)), s
+                for fid in range(lo, hi + 1):
+                    if fid in base:
+                        base[fid] = base[fid] + 0.8 * class_sig[mod][a]
+            table[vid] = base
         feats[mod] = table
 
         # fake-LMDB npz: key -> raw float32 bytes (as the reference reads)
