@@ -19,6 +19,8 @@ from typing import Dict, List, Optional, Sequence, Union
 import numpy as np
 import pandas as pd
 
+from pathlib import Path
+
 from .anticipation import RULSTM_TSN_FPS, convert_to_anticipation
 from ..config.registry import instantiate
 
@@ -169,6 +171,16 @@ class FeatureClipDataset:
             self.classes_counts = self._compute_stats_cls_counts()
             logging.debug("classes counts: %s", self.classes_counts)
 
+        # hot-path plan: precompute every clip's frame ids / timestamps /
+        # past labels once, so get_item is a vectorized store gather (the
+        # reference recomputes window math and scans pandas per item — its
+        # input pipeline bottleneck, SURVEY §7 hard parts)
+        self._plan = None
+        try:
+            self._plan = self._build_plan()
+        except Exception as e:  # raw-video readers, exotic configs
+            logging.info("clip-plan disabled (%s); using per-item path", e)
+
     def _compute_stats_cls_counts(self):
         """Per-class sample counts incl. the -1 bucket
         (reference base_video_dataset.py:190-209)."""
@@ -203,6 +215,168 @@ class FeatureClipDataset:
         return len(self.df)
 
     # ------------------------------------------------------------------
+    def _build_plan(self):
+        """Precompute (N, frames_per_clip) frame-id/timestamp tables plus
+        past-frame labels for deterministic clip strategies. Replicates the
+        per-item arithmetic of the reference exactly — padding with a
+        repeated first/last frame id yields identical features, since reads
+        are pure functions of the id."""
+        if self.sample_strategy == SAMPLE_STRAT_RAND or not self.reader_fn:
+            return None
+        readers = list(self.reader_fn.values())
+        if not all(hasattr(r, "read_ids") for r in readers):
+            return None
+        fps_set = {r.get_frame_rate(None) for r in readers}
+        if len(fps_set) != 1:
+            return None
+        fps = float(fps_set.pop())
+        req = self.frame_rate if self.frame_rate is not None else fps
+        fpc = self.frames_per_clip
+        fte = int(round(fpc * (fps / req)))
+        step = max(int(round(fps / req)), 1)
+        is_last = self.sample_strategy == SAMPLE_STRAT_LAST
+
+        starts = np.maximum(self.df.start.values.astype(np.float64), 0.0)
+        ends = np.maximum(self.df.end.values.astype(np.float64), 0.0)
+        nframes = (fps * (ends - starts)).astype(np.int64)
+        if self.sample_strategy == SAMPLE_STRAT_LAST:
+            start_frames = np.maximum(nframes - fte, 0)
+        elif self.sample_strategy == SAMPLE_STRAT_CNTR:
+            start_frames = np.maximum((nframes - fte) // 2, 0)
+        else:  # first_clip
+            start_frames = np.zeros_like(nframes)
+        new_starts = starts + start_frames / fps
+        new_ends = np.maximum(np.minimum(ends, starts +
+                                         (start_frames + fte) / fps), 0.0)
+        new_starts = np.minimum(np.maximum(new_starts, 0.0), new_ends)
+        start_fs = np.floor(new_starts * fps).astype(np.int64)
+        end_fs = np.floor(new_ends * fps).astype(np.int64)
+
+        N = len(self.df)
+        keep_cache = {}
+        frame_ids = np.zeros((N, fpc), np.int64)
+        frame_sec = np.zeros((N, fpc), np.float32)
+        for i in range(N):
+            count = int(end_fs[i] - start_fs[i])
+            if count <= 0:
+                raise ValueError("empty clip window")
+            keep = keep_cache.get(count)
+            if keep is None:
+                keep = (np.arange(count)[::-step][::-1] if is_last
+                        else np.arange(count)[::step])
+                keep_cache[count] = keep
+            ids = np.arange(start_fs[i] + 1, end_fs[i] + 1)
+            if ids.max() < 1:
+                raise ValueError("window fully before video start")
+            ids[ids < 1] = ids[ids >= 1].min()
+            if new_starts[i] >= new_ends[i]:
+                sec = np.full(count, new_starts[i], np.float32)
+            else:
+                sec = np.linspace(new_starts[i], new_ends[i], count,
+                                  dtype=np.float32)
+            ids, sec = ids[keep], sec[keep]
+            t = len(ids)
+            if t < fpc:
+                npad = fpc - t
+                if is_last:
+                    ids = np.concatenate([np.repeat(ids[:1], npad), ids])
+                    sec = np.concatenate([np.repeat(sec[:1], npad), sec])
+                else:
+                    ids = np.concatenate([ids, np.repeat(ids[-1:], npad)])
+                    sec = np.concatenate([sec, np.repeat(sec[-1:], npad)])
+            frame_ids[i] = ids[-fpc:] if is_last else ids[:fpc]
+            frame_sec[i] = sec[-fpc:] if is_last else sec[:fpc]
+
+        plan = {
+            "fps": fps,
+            "frame_ids": frame_ids,
+            "frame_sec": frame_sec,
+            "video": [str(Path(v).stem) for v in self.df.video_path.values],
+            "uid": self.df.uid.values,
+            "target": {
+                t: (self.df[t + "_class"].values.astype(np.int64)
+                    if t + "_class" in self.df else
+                    np.full(N, self.dummy_label, np.int64))
+                for t in self.label_type},
+            "start": self.df.start.values,
+            "end": self.df.end.values,
+        }
+        if self.load_seg_labels:
+            labels = {t: np.full((N, fpc), -1, np.int64)
+                      for t in self.label_type}
+            videos = self.df.video_path.values
+            for i in range(N):
+                row_labels = self._label_index.labels_at(
+                    videos[i], frame_sec[i].astype(np.float64),
+                    self.label_type)
+                for t in self.label_type:
+                    labels[t][i] = row_labels[t]
+            plan["labels"] = labels
+        return plan
+
+    def supports_batch_load(self) -> bool:
+        return (self._plan is not None
+                and all(getattr(r, "supports_batch", lambda: False)()
+                        for r in self.reader_fn.values()))
+
+    def load_batch(self, indices) -> Dict:
+        """Whole-batch fast path: one vectorized store gather per modality —
+        no per-item Python, no collate. Produces the same batch dict as
+        collate([get_item(i) for i in indices])."""
+        p = self._plan
+        indices = np.asarray(indices)
+        videos = np.asarray(p["video"], dtype=object)[indices]
+        ids = p["frame_ids"][indices]
+        data = {}
+        for mod, reader in self.reader_fn.items():
+            feats = reader.read_ids_batch(videos, ids, p["fps"])
+            if feats.dtype == np.float64:
+                feats = feats.astype(np.float32)
+            tfm = self.transforms.get(mod)
+            if tfm is not None:
+                feats = np.stack([tfm(f) for f in feats])
+            data[mod] = feats
+        batch = {
+            "data_dict": data,
+            "target": {t: p["target"][t][indices]
+                       for t in self.label_type},
+            "uid": np.asarray(p["uid"])[indices],
+            "idx": indices.astype(np.int64),
+        }
+        if self.load_seg_labels:
+            batch["target_subclips"] = {
+                t: p["labels"][t][indices][:, :, None]
+                for t in self.label_type}
+        return batch
+
+    def _get_item_fast(self, idx: int) -> Dict:
+        p = self._plan
+        video = p["video"][idx]
+        ids = p["frame_ids"][idx]
+        data = {}
+        for mod, reader in self.reader_fn.items():
+            feats = reader.read_ids(video, ids, p["fps"])
+            if feats.dtype == np.float64:
+                feats = feats.astype(np.float32)
+            tfm = self.transforms.get(mod)
+            if tfm is not None:
+                feats = tfm(feats)
+            data[mod] = feats
+        item = {
+            "data_dict": data,
+            "target": OrderedDict((t, int(p["target"][t][idx]))
+                                  for t in self.label_type),
+            "uid": p["uid"][idx],
+            "idx": idx,
+            "video_frame_sec": p["frame_sec"][idx],
+            "start": p["start"][idx],
+            "end": p["end"][idx],
+        }
+        if self.load_seg_labels:
+            item["target_subclips"] = {
+                t: p["labels"][t][idx][:, None] for t in self.label_type}
+        return item
+
     def _clip_window(self, start: float, end: float, fps: float):
         """Clip selection arithmetic (reference :225-263)."""
         start, end = max(start, 0.0), max(end, 0.0)
@@ -294,6 +468,8 @@ class FeatureClipDataset:
         return labels
 
     def get_item(self, idx: int) -> Dict:
+        if self._plan is not None:
+            return self._get_item_fast(idx)
         row = self.df.loc[idx, :]
         data, frame_sec = {}, None
         for mod in self.reader_fn:

@@ -121,15 +121,32 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        batch_load = getattr(self.dataset, "supports_batch_load",
+                             lambda: False)()
+
+        def make_batch(chunk):
+            if batch_load:
+                return self.dataset.load_batch(chunk)
+            return collate([self.dataset.get_item(i) for i in chunk])
+
         def produce():
+            # bounded-lookahead pipeline: at most prefetch+2 batches in
+            # flight, so memory stays constant on arbitrarily long epochs
+            chunks = [indices[b * self.batch_size:(b + 1) * self.batch_size]
+                      for b in range(n_batches)]
+            inflight = []
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    chunk = indices[b * self.batch_size:
-                                    (b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.get_item, chunk))
-                    batch = collate(items)
+                next_i = 0
+                while (inflight or next_i < len(chunks)) \
+                        and not stop.is_set():
+                    while next_i < len(chunks) and \
+                            len(inflight) < self.prefetch + 2:
+                        inflight.append(
+                            (pool.submit(make_batch, chunks[next_i]),
+                             chunks[next_i]))
+                        next_i += 1
+                    fut, chunk = inflight.pop(0)
+                    batch = fut.result()
                     if self.pad_final:
                         batch = _pad_batch(batch, self.batch_size)
                     else:

@@ -206,6 +206,27 @@ class PackedFeatureStore(FeatureStore):
         out[~found] = 0
         return out
 
+    def get_frames_batch(self, videos, frame_ids):
+        """Batched gather: videos (B,) names, frame_ids (B, T) ->
+        (B, T, F). One searchsorted + one memmap gather per unique video."""
+        frame_ids = np.asarray(frame_ids)
+        B, T = frame_ids.shape
+        global_rows = np.zeros((B, T), np.int64)
+        found_all = np.zeros((B, T), bool)
+        videos = np.asarray(videos)
+        for video in np.unique(videos):
+            sel = videos == video
+            v = self.videos[str(video)]
+            o, n = v["row_offset"], v["num_rows"]
+            avail = self.frame_ids[o:o + n]
+            rows, found = resolve_backward(avail, frame_ids[sel].ravel())
+            global_rows[sel] = (o + rows).reshape(-1, T)
+            found_all[sel] = found.reshape(-1, T)
+        out = np.asarray(self.features[global_rows.ravel()])
+        out = out.reshape(B, T, self.feature_dim)
+        out[~found_all] = 0
+        return out
+
 
 class LmdbFeatureStore(FeatureStore):
     """Original RULSTM LMDB dirs. Key format '{video}_frame_{:010d}.jpg'."""
@@ -308,6 +329,13 @@ class EpicRULSTMFeatsReader:
         """Features for the window, shape (T, F_total)."""
         video_name = Path(str(video_path)).stem
         frames = self.frame_ids_for_window(start_sec, end_sec, fps)
+        return self.read_ids(video_name, frames, fps)
+
+    def read_ids(self, video_name: str, frames: np.ndarray,
+                 fps: float) -> np.ndarray:
+        """Gather exact frame ids (precomputed-plan fast path). Per-store
+        audio/pose remap is elementwise, so remapping a subsampled id list
+        equals subsampling the remapped full list."""
         feats = []
         for store, path in zip(self.stores, self.lmdb_path):
             if "audio" in path or "poses" in path:
@@ -316,6 +344,27 @@ class EpicRULSTMFeatsReader:
             else:
                 fr = frames
             feats.append(store.get_frames(video_name, fr))
+        if len(feats) == 1:
+            return feats[0]
+        return np.concatenate(feats, axis=-1)
+
+    def supports_batch(self) -> bool:
+        return all(hasattr(s, "get_frames_batch") for s in self.stores)
+
+    def read_ids_batch(self, video_names, frames, fps: float) -> np.ndarray:
+        """Batched gather: video_names (B,), frames (B, T) -> (B, T, F)."""
+        frames = np.asarray(frames)
+        feats = []
+        for store, path in zip(self.stores, self.lmdb_path):
+            if "audio" in path or "poses" in path:
+                fr = np.stack([
+                    np.rint(f / fps * self._get_orig_video_fps(v)).astype(int)
+                    for v, f in zip(video_names, frames)])
+            else:
+                fr = frames
+            feats.append(store.get_frames_batch(video_names, fr))
+        if len(feats) == 1:
+            return feats[0]
         return np.concatenate(feats, axis=-1)
 
     # reference Reader protocol (used by item-level compatibility paths)
