@@ -148,6 +148,11 @@ class FeatureClipDataset:
             {"num_frames": 1, "stride": 1}
         self.sec_subclips_options = sec_subclips_options or \
             {"num_frames": 1, "stride": 1}
+        for opts in (self.frame_subclips_options, self.sec_subclips_options):
+            assert dict(opts) == {"num_frames": 1, "stride": 1}, \
+                "only {num_frames:1, stride:1} subclips are supported " \
+                "(every shipped reference config uses them; " \
+                "reference conf/data/default.yaml)"
 
         # readers: {mod: EpicRULSTMFeatsReader-like}; dict configs are
         # instantiated through the registry (reference reader_fn TargetConf)

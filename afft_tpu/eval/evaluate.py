@@ -57,7 +57,9 @@ def _forward_all(model, params, loader, mesh, num_heads_key="logits/action"):
         return outputs[num_heads_key][modk][:, 0, :]
 
     for batch in loader:
-        data = shard_batch(mesh, batch["data_dict"])
+        data = batch["data_dict"]
+        if not hasattr(next(iter(data.values())), "sharding"):
+            data = shard_batch(mesh, data)  # host batches need staging
         logits = fwd(params, data)
         valid = batch["valid"]
         yield np.asarray(logits)[valid], batch["uid"][valid], modk
@@ -94,10 +96,18 @@ def main(cfg: Config):
                                transform_val, log)
     eval_batch = (cfg.eval.batch_size or cfg.train.batch_size * 4) * \
         jax.local_device_count()
-    loader = BatchLoader(dataset_test, batch_size=eval_batch, shuffle=False,
-                         num_workers=cfg.workers,
-                         shard_id=dist_info["rank"],
-                         num_shards=dist_info["world_size"])
+    if cfg.get("data_on_device") and \
+            getattr(dataset_test, "supports_batch_load", lambda: False)():
+        from ..data.device_cache import DeviceFeatureCache
+        cache = DeviceFeatureCache(dataset_test)
+        loader = cache.iter_batches(eval_batch, shuffle=False,
+                                    shard_id=dist_info["rank"],
+                                    num_shards=dist_info["world_size"])
+    else:
+        loader = BatchLoader(dataset_test, batch_size=eval_batch,
+                             shuffle=False, num_workers=cfg.workers,
+                             shard_id=dist_info["rank"],
+                             num_shards=dist_info["world_size"])
 
     num_classes = {k: len(v) for k, v in dataset_test.classes.items()}
     model = BaseModel(cfg.model, num_classes=num_classes,

@@ -226,20 +226,49 @@ def main(cfg: Config, interactive: bool = True):
         best_metric = float(ckpt["best_metric"])
         log.info("Resumed from %s at epoch %d", last_path, start_epoch)
 
-    for epoch in range(start_epoch, cfg.train.num_epochs):
+    # optional HBM-resident feature cache: per-batch host traffic becomes a
+    # tiny index upload (see afft_tpu/data/device_cache.py). Requires the
+    # deterministic clip plan and no host-side augmentations.
+    cache_train = cache_val = None
+    if cfg.get("data_on_device"):
+        from ..data.device_cache import DeviceFeatureCache
+        try:
+            cache_train = DeviceFeatureCache(dataset_train)
+            cache_val = DeviceFeatureCache(dataset_val)
+            log.info("serving features from HBM (data_on_device)")
+        except AssertionError as e:
+            log.warning("data_on_device unavailable (%s); host loader", e)
+
+    def epoch_loaders(epoch):
+        if cache_train is not None:
+            bt = cfg.train.batch_size * jax.local_device_count()
+            bv = (cfg.eval.batch_size or cfg.train.batch_size * 4) * \
+                jax.local_device_count()
+            return (cache_train.iter_batches(
+                        bt, shuffle=True, seed=cfg.seed, epoch=epoch,
+                        shard_id=dist_info["rank"],
+                        num_shards=dist_info["world_size"]),
+                    cache_val.iter_batches(
+                        bv, shuffle=False, shard_id=dist_info["rank"],
+                        num_shards=dist_info["world_size"]))
         loader_train.set_epoch(epoch)
+        return loader_train, loader_val
+
+    for epoch in range(start_epoch, cfg.train.num_epochs):
+        epoch_train_loader, epoch_val_loader = epoch_loaders(epoch)
         lr = lr_schedule(step_counter, cfg.opt.lr)
         log.info("Epoch %d of %d with lr %g", epoch + 1,
                  cfg.train.num_epochs, lr)
         metric_tracker.reset()
 
         params, opt_state, step_counter, rng = run_one_epoch(
-            runner, mesh, params, opt_state, loader_train, metric_tracker,
-            is_training=True, lr_schedule=lr_schedule, base_lr=cfg.opt.lr,
-            step_counter=step_counter, rng=rng, profiler=profiler)
+            runner, mesh, params, opt_state, epoch_train_loader,
+            metric_tracker, is_training=True, lr_schedule=lr_schedule,
+            base_lr=cfg.opt.lr, step_counter=step_counter, rng=rng,
+            profiler=profiler)
         params, opt_state, _, _ = run_one_epoch(
-            runner, mesh, params, opt_state, loader_val, metric_tracker,
-            is_training=False)
+            runner, mesh, params, opt_state, epoch_val_loader,
+            metric_tracker, is_training=False)
 
         if is_master:
             log.info(metric_tracker.to_string(is_training=True))

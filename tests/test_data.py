@@ -179,3 +179,27 @@ def test_packed_store_bf16_roundtrip(tmp_path):
         np.testing.assert_allclose(
             np.asarray(out[i], np.float32),
             table["vidX"][fid].astype(ml_dtypes.bfloat16).astype(np.float32))
+
+
+def test_device_feature_cache_matches_loader(synth_dataset):
+    """HBM-resident cache serves the same features/labels as the host
+    loader (modulo the bf16 cast)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    from afft_tpu.data.device_cache import DeviceFeatureCache
+    cache = DeviceFeatureCache(synth_dataset)
+    idx = np.array([0, 2, 5, 9])
+    cb = cache.batch(idx)
+    hb = synth_dataset.load_batch(idx)
+    for m in MODS:
+        np.testing.assert_array_equal(
+            np.asarray(cb["data_dict"][m]),
+            hb["data_dict"][m].astype(ml_dtypes.bfloat16))
+    np.testing.assert_array_equal(cb["target"]["action"],
+                                  hb["target"]["action"])
+    np.testing.assert_array_equal(cb["target_subclips"]["action"],
+                                  hb["target_subclips"]["action"])
+    # padded final batch carries a correct valid mask
+    batches = list(cache.iter_batches(batch_size=6))
+    assert sum(int(b["valid"].sum()) for b in batches) == len(synth_dataset)
+    assert all(b["data_dict"]["rgb"].shape[0] == 6 for b in batches)
