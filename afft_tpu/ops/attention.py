@@ -16,7 +16,6 @@ training-time attention dropout.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional, Tuple
 

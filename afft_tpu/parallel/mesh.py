@@ -15,7 +15,7 @@ code never mentions devices.
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import jax
 import numpy as np

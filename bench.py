@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = 256
 T = 16
 MODAL_DIMS = {"rgb": 1024, "objects": 352, "audio": 1024, "flow": 1024}
 N_CLASSES = 3806
@@ -30,7 +30,7 @@ BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_data")
 
 
-def _build_bench_dataset(n_videos=6, clips_per_video=60):
+def _build_bench_dataset(n_videos=6, clips_per_video=300):
     """EK100-shaped synthetic dataset served from bf16 packed stores:
     4 modalities at real dims, tau_a=1/tau_o=16, annotations + features on
     disk. Built once, cached in .bench_data."""
@@ -82,7 +82,7 @@ def bench_end_to_end(n_epochs=3):
     import jax.numpy as jnp
     from afft_tpu.config import compose
     from afft_tpu.data.epic import EPICKitchens
-    from afft_tpu.data.loader import BatchLoader
+
     from afft_tpu.models import BaseModel
 
     _build_bench_dataset()

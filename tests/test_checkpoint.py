@@ -137,3 +137,35 @@ def test_fp_output_len_rollout_config():
     assert out["future"]["all-fused"].shape == (2, 3, 32)
     assert out["logits/action"]["all-fused"].shape == (2, 3, 11)
     assert out["past_futures"]["all-fused"].shape == (2, 5, 32)
+
+
+def test_training_resume_continues(tmp_path, monkeypatch):
+    """train.resume=true restores params/optimizer/epoch and continues
+    (the reference stores this state but never reloads it; SURVEY §5.3)."""
+    import shutil
+    from run import read_file_into_cli
+    from afft_tpu.config import compose as compose_cfg
+    from afft_tpu.train.loop import main as train_main
+
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(__file__)))
+    shutil.rmtree("checkpoints/CMFPEarly_ModalTokenCMFuser_rgb_flow_resume-t",
+                  ignore_errors=True)
+    ov = read_file_into_cli("expts/99_synth_smoke_train.txt")
+    ov = [o for o in ov if not o.startswith("train.num_epochs")
+          and not o.startswith("experiment_name")]
+    ov += ["experiment_name=resume-t", "use_wandb=false", "workers=2"]
+
+    train_main(compose_cfg("afft_tpu/conf", ov + ["train.num_epochs=1"]),
+               interactive=False)
+    ckpt_dir = "checkpoints/CMFPEarly_ModalTokenCMFuser_rgb_flow_resume-t"
+    from afft_tpu.train.checkpoint import load_checkpoint
+    first = load_checkpoint(os.path.join(ckpt_dir, "checkpoint_last"))
+    assert int(first["epoch"]) == 1
+
+    train_main(compose_cfg("afft_tpu/conf",
+                           ov + ["train.num_epochs=2", "train.resume=true"]),
+               interactive=False)
+    second = load_checkpoint(os.path.join(ckpt_dir, "checkpoint_last"))
+    assert int(second["epoch"]) == 2
+    assert int(second["step"]) > int(first["step"])
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
