@@ -226,3 +226,20 @@ def test_multi_target_labels():
         assert f"cls_{t}_all-fused" in losses
         assert f"past_cls_{t}_all-fused" in losses
         assert np.isfinite(float(losses[f"cls_{t}_all-fused"]))
+
+
+def test_multiprocess_distributed(tmp_path):
+    """Two jax processes (4 virtual devices each) train one step over a
+    global 8-device mesh via jax.distributed; replicated losses agree
+    (tools/multihost_check.py — the simulated multi-host path)."""
+    import subprocess
+    import sys
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multihost_check.py")],
+        capture_output=True, text=True, timeout=280, env=env, cwd=repo)
+    assert "multihost check ok" in res.stdout, \
+        f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
