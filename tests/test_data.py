@@ -203,3 +203,22 @@ def test_device_feature_cache_matches_loader(synth_dataset):
     batches = list(cache.iter_batches(batch_size=6))
     assert sum(int(b["valid"].sum()) for b in batches) == len(synth_dataset)
     assert all(b["data_dict"]["rgb"].shape[0] == 6 for b in batches)
+
+
+def test_challenge_marginalization_matches_reference(synth_dataset):
+    """marginalize_verb_noun + compute_accuracies_epic must reproduce the
+    reference's numbers on the same random logits (fixture from the torch
+    reference's challenge.py)."""
+    from afft_tpu.eval.challenge import marginalize_verb_noun
+    d = _load("challenge_eval.npz")
+    accs, scores = marginalize_verb_noun(
+        d["logits"], synth_dataset, to_prob=True,
+        compute_manyshot_unseen_tail=False)
+    np.testing.assert_allclose(scores[0], d["scores_verb"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(scores[1], d["scores_noun"], rtol=1e-5,
+                               atol=1e-6)
+    for k in ("vtop1", "vtop5", "vmt5r", "ntop1", "ntop5", "nmt5r",
+              "atop1", "atop5", "amt5r"):
+        np.testing.assert_allclose(accs[k], float(d[f"acc::{k}"]),
+                                   rtol=1e-9, err_msg=k)

@@ -187,6 +187,32 @@ def main():
     print(f"saved data_ek100: {len(ek.df)} rows kept, "
           f"{len(ek.discarded_df)} discarded")
 
+    # --- challenge / marginalization eval fixture --------------------------
+    # random logits on the synthetic dataset through the reference's
+    # marginalize_verb_noun + compute_accuracies_epic (needs numpyencoder
+    # stubbed; scipy is available)
+    import types
+    import importlib.machinery
+    ne = types.ModuleType("numpyencoder")
+    ne.__spec__ = importlib.machinery.ModuleSpec("numpyencoder", None)
+    ne.NumpyEncoder = object
+    sys.modules["numpyencoder"] = ne
+    import challenge as ref_challenge
+
+    rng = np.random.default_rng(42)
+    n_actions = len(ds.action_classes)
+    logits = rng.standard_normal((len(ds), n_actions)).astype(np.float32)
+    accs, scores = ref_challenge.marginalize_verb_noun(
+        logits, ds, to_prob=True, compute_manyshot_unseen_tail=False)
+    np.savez_compressed(OUTDIR / "challenge_eval.npz", **{
+        "logits": logits,
+        "scores_verb": scores[0], "scores_noun": scores[1],
+        **{f"acc::{k}": np.float64(v) for k, v in accs.items()},
+    })
+    print("saved challenge_eval:", {k: round(float(v), 3)
+                                    for k, v in accs.items()
+                                    if not np.isnan(v)})
+
 
 if __name__ == "__main__":
     main()
