@@ -121,6 +121,7 @@ def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
                   *, is_training, lr_schedule=None, base_lr=None,
                   step_counter=0, rng=None, log_every=200, profiler=None):
     t_dl = time.perf_counter()
+    accum = None
     for idx, batch in enumerate(loader):
         dl_time = time.perf_counter() - t_dl
         device_batch = shard_batch(mesh, {
@@ -131,24 +132,31 @@ def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
         if is_training:
             lr = lr_schedule(step_counter, base_lr)
             rng, step_key = jax.random.split(rng)
-            params, opt_state, losses, metrics = runner.train_step(
-                params, opt_state, device_batch, lr, base_lr, step_key)
+            # readbacks only at the logging cadence: the NaN guard + log
+            # line sync the device there, keeping the step pipeline free of
+            # per-iteration host round-trips (metrics accumulate inside the
+            # jitted step and are absorbed once at epoch end)
+            check = idx % log_every == 0
+            params, opt_state, losses, metrics, accum = runner.train_step(
+                params, opt_state, device_batch, lr, base_lr, step_key,
+                check_nan=check, accum=accum)
             step_counter += 1
             if profiler is not None:
                 profiler.step(step_counter)
         else:
-            losses, metrics, _ = runner.eval_step(params, device_batch)
-        host_metrics = metrics_to_host(losses, metrics)
+            losses, metrics, _, accum = runner.eval_step(
+                params, device_batch, accum=accum)
         step_time = time.perf_counter() - t_fw
 
-        host_metrics["T DataLoader"] = dl_time
-        host_metrics["T Step"] = step_time
-        metric_tracker.update(host_metrics, int(batch["valid"].sum()),
-                              is_training)
+        metric_tracker.update(
+            {"T DataLoader": dl_time, "T Step": step_time},
+            int(batch["valid"].sum()), is_training)
         if is_training and idx % log_every == 0:
             log.info("iter %d: loss %.4f lr %.2e (T data %.3fs step %.3fs)",
-                     idx, host_metrics["total_loss"], lr, dl_time, step_time)
+                     idx, float(losses["total_loss"]), lr, dl_time,
+                     step_time)
         t_dl = time.perf_counter()
+    runner.absorb_accum(metric_tracker, accum, is_training)
     metric_tracker.synchronize_between_processes(is_training)
     return params, opt_state, step_counter, rng
 

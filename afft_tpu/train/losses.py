@@ -91,7 +91,10 @@ def future_action_terms(logits, tgt_val, mixup_enable, valid):
         topk_correct(flat_preds, flat_labels,
                      min(5, C)).astype(jnp.float32), flat_valid) * 100.0
     loss = _masked_mean(loss.mean(axis=1), valid)
-    return loss, acc1, acc5, preds[:, seq, :], labels
+    # top-5 ids of the (mixup-merged) metric logits: all the MT5R meter
+    # needs, accumulated on device so no per-step host readback happens
+    top5 = jax.lax.top_k(preds[:, seq, :], min(5, C))[1]
+    return loss, acc1, acc5, top5, labels
 
 
 def past_action_loss(past_logits, past_target, mixup_enable, valid,
@@ -132,13 +135,13 @@ def compute_losses_metrics(outputs: Dict, target: Dict,
 
     for tgt_type, tgt_val in target.items():
         for modk, logits in outputs[f"logits/{tgt_type}"].items():
-            loss, acc1, acc5, m_logits, m_labels = future_action_terms(
+            loss, acc1, acc5, top5, m_labels = future_action_terms(
                 logits, tgt_val, mixup_enable, valid)
             losses[f"cls_{tgt_type}_{modk}"] = loss
             metrics[f"acc1_{tgt_type}_{modk}"] = acc1
             metrics[f"acc5_{tgt_type}_{modk}"] = acc5
             metrics[f"mt5r_{tgt_type}_{modk}"] = {
-                "logits": m_logits, "labels": m_labels, "valid": valid}
+                "top5": top5, "labels": m_labels, "valid": valid}
 
         past_key = f"{PAST_LOGITS_PREFIX}logits/{tgt_type}"
         if past_key in outputs and target_subclips is not None:

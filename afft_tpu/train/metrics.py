@@ -61,7 +61,11 @@ def accuracy(output: np.ndarray, target: np.ndarray, topk=(1,)):
 # ---------------------------------------------------------------------------
 
 class AverageMeter:
-    """Running weighted average (reference common/metric_tracking.py:56-88)."""
+    """Running weighted average (reference common/metric_tracking.py:56-88).
+
+    Accepts host floats or device scalars; device values accumulate lazily
+    on the accelerator (no per-step readback — critical when the host link
+    is slow) and are read once when ``value`` is queried."""
 
     def __init__(self, name, string_format="{:.3f}"):
         self.name = name
@@ -72,20 +76,19 @@ class AverageMeter:
         self.val, self.sum, self.count = 0.0, 0.0, 0
 
     def update(self, val, n=1):
-        val = float(val)
         self.val = val
-        self.sum += val * n
+        self.sum = self.sum + val * n
         self.count += n
 
     def sync_payload(self):
-        return np.array([self.sum, self.count], np.float64)
+        return np.array([float(self.sum), self.count], np.float64)
 
     def load_sync(self, arr):
         self.sum, self.count = float(arr[0]), float(arr[1])
 
     @property
     def value(self):
-        return self.sum / self.count if self.count else 0.0
+        return float(self.sum) / self.count if self.count else 0.0
 
     def to_string(self):
         return self.string_format.format(self.value)
@@ -108,6 +111,9 @@ class MeanTopKRecallMeter:
 
     def update(self, logits_labels_dict: Dict, n=1):
         del n
+        if "top5" in logits_labels_dict:
+            self._update_device(logits_labels_dict)
+            return
         scores = np.asarray(logits_labels_dict["logits"])
         labels = np.asarray(logits_labels_dict["labels"])
         if "valid" in logits_labels_dict:
@@ -121,8 +127,23 @@ class MeanTopKRecallMeter:
             self.tps[lbl] += tp[labels == lbl].sum()
             self.nums[lbl] += (labels == lbl).sum()
 
+    def _update_device(self, payload):
+        """Per-class tp/num scatter-adds stay on the accelerator; nothing is
+        read back until ``value`` at epoch end."""
+        import jax.numpy as jnp
+        top5 = payload["top5"]
+        labels = payload["labels"].reshape(-1)
+        valid = payload.get("valid")
+        valid = jnp.ones(labels.shape, bool) if valid is None \
+            else payload["valid"].reshape(-1)
+        tp = (top5[:, :self.k] == labels[:, None]).any(axis=-1) & valid
+        self.tps = jnp.asarray(self.tps).at[labels].add(
+            tp.astype(jnp.float64))
+        self.nums = jnp.asarray(self.nums).at[labels].add(
+            valid.astype(jnp.float64))
+
     def sync_payload(self):
-        return np.concatenate([self.tps, self.nums])
+        return np.concatenate([np.asarray(self.tps), np.asarray(self.nums)])
 
     def load_sync(self, arr):
         self.tps = arr[:self.num_classes]
@@ -130,10 +151,11 @@ class MeanTopKRecallMeter:
 
     @property
     def value(self):
-        sel = self.nums > 0
+        tps, nums = np.asarray(self.tps), np.asarray(self.nums)
+        sel = nums > 0
         if not sel.any():
             return None
-        return (self.tps[sel] / self.nums[sel]).mean() * 100
+        return (tps[sel] / nums[sel]).mean() * 100
 
     def to_string(self):
         v = self.value

@@ -32,7 +32,13 @@ def clip_by_global_norm(grads, max_norm):
 
 
 class Runner:
-    """Owns the compiled steps for one model + optimizer configuration."""
+    """Owns the compiled steps for one model + optimizer configuration.
+
+    Metric accumulation happens *inside* the jitted step: the step takes and
+    returns an accumulator pytree (scalar sums, MT5R per-class tp/num), so
+    an epoch issues exactly one fused program per batch and one readback at
+    the end — no per-step host traffic and no trailing tiny dispatches.
+    """
 
     def __init__(self, model, optimizer: Optimizer, groups, loss_wts: Dict,
                  mixup=None, mixup_backbone: bool = True,
@@ -46,10 +52,82 @@ class Runner:
         self.mixup_backbone = mixup_backbone
         self.grad_clip = grad_clip
         self.compute_dtype = compute_dtype
-        donate_argnums = (0, 1) if donate else ()
+        donate_argnums = (0, 1, 5) if donate else ()
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=donate_argnums)
-        self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl,
+                                  donate_argnums=(2,) if donate else ())
+
+    # -- in-step metric accumulator -------------------------------------
+    def _num_classes_for(self, metric_name: str) -> int:
+        num_classes = self.model.future_predictor.num_classes
+        found = None
+        for t, c in num_classes.items():
+            if t in metric_name:
+                found = c
+        assert found is not None, metric_name
+        return found
+
+    def _accumulate(self, accum, losses, metrics, valid):
+        """In-trace accumulation; structure is derived from the first step's
+        losses/metrics (accum=None), then threaded through the epoch."""
+        n = valid.sum().astype(jnp.float32)
+        scalar_vals = {k: v for k, v in {**losses, **metrics}.items()
+                       if not isinstance(v, dict)}
+        payloads = {k: v for k, v in metrics.items() if isinstance(v, dict)}
+        if accum is None:
+            accum = {
+                "scalars": {k: jnp.zeros((), jnp.float32)
+                            for k in scalar_vals},
+                "count": jnp.zeros((), jnp.float32),
+                "mt5r": {k: {
+                    "tps": jnp.zeros((self._num_classes_for(k),),
+                                     jnp.float32),
+                    "nums": jnp.zeros((self._num_classes_for(k),),
+                                      jnp.float32)} for k in payloads},
+            }
+        scalars = {k: accum["scalars"][k] + v.astype(jnp.float32) * n
+                   for k, v in scalar_vals.items()}
+        mt5r = {}
+        for key, payload in payloads.items():
+            top5 = payload["top5"]
+            labels = payload["labels"].reshape(-1)
+            v = payload["valid"].reshape(-1)
+            tp = (top5 == labels[:, None]).any(axis=-1) & v
+            mt5r[key] = {
+                "tps": accum["mt5r"][key]["tps"].at[labels].add(
+                    tp.astype(jnp.float32)),
+                "nums": accum["mt5r"][key]["nums"].at[labels].add(
+                    v.astype(jnp.float32)),
+            }
+        return {"scalars": scalars, "count": accum["count"] + n,
+                "mt5r": mt5r}
+
+    @staticmethod
+    def absorb_accum(metric_tracker, accum, is_training: bool):
+        """One epoch-end readback into the host MetricTracker meters."""
+        if accum is None:
+            return
+        host = jax.device_get(accum)
+        count = float(host["count"])
+        if count == 0:
+            return
+        metrics = metric_tracker._metrics(is_training)
+        prefix = "train_" if is_training else "val_"
+        for key, total in host["scalars"].items():
+            name = prefix + key
+            if name not in metrics:
+                metric_tracker.add_metric(name, is_training)
+            meter = metrics[name]
+            meter.sum = float(meter.sum) + float(total)
+            meter.count += count
+        for key, state in host["mt5r"].items():
+            name = prefix + key
+            if name not in metrics:
+                metric_tracker.add_metric(name, is_training)
+            meter = metrics[name]
+            meter.tps = np.asarray(meter.tps) + np.asarray(state["tps"])
+            meter.nums = np.asarray(meter.nums) + np.asarray(state["nums"])
 
     # ------------------------------------------------------------------
     def _forward(self, params, batch, *, train, rng_key, use_mixup):
@@ -87,7 +165,8 @@ class Runner:
         return total, losses, metrics
 
     # ------------------------------------------------------------------
-    def _train_step_impl(self, params, opt_state, batch, lr_factor, rng_key):
+    def _train_step_impl(self, params, opt_state, batch, lr_factor, rng_key,
+                         accum):
         use_mixup = self.mixup is not None
 
         def loss_fn(p):
@@ -106,9 +185,14 @@ class Runner:
         params = apply_updates(params, updates)
         losses = dict(losses)
         losses["total_loss"] = total
-        return params, opt_state, losses, metrics
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones((next(iter(batch["target"].values())).shape[0],),
+                             bool)
+        accum = self._accumulate(accum, losses, metrics, valid)
+        return params, opt_state, losses, metrics, accum
 
-    def _eval_step_impl(self, params, batch):
+    def _eval_step_impl(self, params, batch, accum):
         outputs, outputs_target = self._forward(
             params, batch, train=False, rng_key=jax.random.key(0),
             use_mixup=False)
@@ -116,6 +200,11 @@ class Runner:
             outputs, outputs_target, batch.get("valid"), False)
         losses = dict(losses)
         losses["total_loss"] = total
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones((next(iter(batch["target"].values())).shape[0],),
+                             bool)
+        accum = self._accumulate(accum, losses, metrics, valid)
         # fused/primary action logits for MT5R / h5 export
         logits_key = "logits/action"
         action_logits = None
@@ -124,7 +213,7 @@ class Runner:
             modk = "all-fused" if "all-fused" in heads else \
                 next(iter(heads))
             action_logits = heads[modk][:, 0, :]
-        return losses, metrics, action_logits
+        return losses, metrics, action_logits, accum
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -133,27 +222,25 @@ class Runner:
         return {k: v for k, v in batch.items() if k in keep}
 
     def train_step(self, params, opt_state, batch, lr: float, base_lr: float,
-                   rng_key):
+                   rng_key, check_nan: bool = False, accum=None):
+        """One jitted iteration. Losses/metrics come back as device values:
+        nothing is read to the host unless ``check_nan`` (callers sample it
+        periodically — a per-step readback would serialize the pipeline on
+        the host link; the reference's guard is per-step, runner.py:209)."""
         lr_factor = jnp.asarray(lr / base_lr, jnp.float32)
-        params, opt_state, losses, metrics = self._train_step(
-            params, opt_state, self._device_batch(batch), lr_factor, rng_key)
-        loss = float(losses["total_loss"])
-        if np.isnan(loss):
-            raise ValueError("The loss is NaN!")  # reference runner.py:209
-        return params, opt_state, losses, metrics
+        params, opt_state, losses, metrics, accum = self._train_step(
+            params, opt_state, self._device_batch(batch), lr_factor, rng_key,
+            accum)
+        if check_nan and np.isnan(float(losses["total_loss"])):
+            raise ValueError("The loss is NaN!")
+        return params, opt_state, losses, metrics, accum
 
-    def eval_step(self, params, batch):
-        return self._eval_step(params, self._device_batch(batch))
+    def eval_step(self, params, batch, accum=None):
+        return self._eval_step(params, self._device_batch(batch), accum)
 
 
 def metrics_to_host(losses, metrics):
-    """Convert device metric payloads to the host types MetricTracker eats."""
-    out = {}
-    for k, v in losses.items():
-        out[k] = float(v)
-    for k, v in metrics.items():
-        if isinstance(v, dict):
-            out[k] = {kk: np.asarray(vv) for kk, vv in v.items()}
-        else:
-            out[k] = float(v)
-    return out
+    """Merge loss/metric dicts for MetricTracker. Values stay as device
+    scalars / arrays — the meters accumulate them lazily on device and only
+    epoch-end queries read back."""
+    return {**losses, **metrics}

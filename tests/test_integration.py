@@ -71,7 +71,7 @@ def test_multidevice_training_matches_single_device():
         p = replicate_tree(mesh, params)
         s = replicate_tree(mesh, opt_state)
         db = shard_batch(mesh, batch)
-        p, s, losses, _ = runner.train_step(p, s, db, 0.01, 0.01,
+        p, s, losses, _, _ = runner.train_step(p, s, db, 0.01, 0.01,
                                             jax.random.key(1))
         results[ndev] = (float(losses["total_loss"]),
                          np.asarray(jax.tree.leaves(p)[0]))
@@ -110,7 +110,7 @@ def test_variant_trains(variant):
     p0 = np.asarray(jax.tree.leaves(params)[0]).copy()
     losses_t = []
     for step in range(4):
-        params, opt_state, losses, metrics = runner.train_step(
+        params, opt_state, losses, metrics, _ = runner.train_step(
             params, opt_state, db, 0.01, 0.01, jax.random.key(step))
         losses_t.append(float(losses["total_loss"]))
     assert all(np.isfinite(losses_t))
@@ -152,8 +152,8 @@ def test_eval_step_deterministic():
     batch = make_batch(cfg)
     mesh = make_mesh(jax.devices()[:1])
     db = shard_batch(mesh, batch)
-    l1, m1, logits1 = runner.eval_step(params, db)
-    l2, m2, logits2 = runner.eval_step(params, db)
+    l1, m1, logits1, _ = runner.eval_step(params, db)
+    l2, m2, logits2, _ = runner.eval_step(params, db)
     np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits2))
     assert float(l1["total_loss"]) == float(l2["total_loss"])
 
@@ -179,7 +179,7 @@ def test_tensor_parallel_matches_replicated():
             s = {"momentum": shard_params(mesh, opt_state["momentum"]),
                  "step": replicate_tree(mesh, opt_state["step"])}
         db = shard_batch(mesh, batch)
-        p, s, losses, _ = runner.train_step(p, s, db, 0.01, 0.01,
+        p, s, losses, _, _ = runner.train_step(p, s, db, 0.01, 0.01,
                                             jax.random.key(1))
         results[mode] = (float(losses["total_loss"]),
                          np.asarray(jax.tree.leaves(p)[0]))
@@ -220,7 +220,7 @@ def test_multi_target_labels():
     }
     mesh = make_mesh(jax.devices()[:1])
     db = shard_batch(mesh, batch)
-    params, opt_state, losses, metrics = runner.train_step(
+    params, opt_state, losses, metrics, _ = runner.train_step(
         params, opt_state, db, 0.01, 0.01, jax.random.key(1))
     for t in n_cls:
         assert f"cls_{t}_all-fused" in losses

@@ -69,7 +69,7 @@ def worker(rank: int):
             rank * 8:(rank + 1) * 8] if np.ndim(x) else x)
 
     device_batch = jax.tree.map(put, full)
-    params, opt_state, losses, _ = runner.train_step(
+    params, opt_state, losses, _, _ = runner.train_step(
         params, opt_state, device_batch, 0.01, 0.01, jax.random.key(1))
     loss = float(losses["total_loss"])
     print(f"RANK{rank} LOSS {loss:.6f}", flush=True)
