@@ -156,6 +156,31 @@ class PackedFeatureStore(FeatureStore):
         return cls(path)
 
     @classmethod
+    def write_blocks(cls, path, blocks, dtype: str = "float32"):
+        """Vectorized build from (video, ids (n,), feats (n, F)) blocks,
+        one per video in name order. Constant memory, no per-row Python."""
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np_dtype = cls._dtype(dtype)
+        meta_videos = {}
+        feature_dim = None
+        offset = 0
+        with open(path / "features.bin", "wb") as f_feat, \
+                open(path / "frame_ids.bin", "wb") as f_ids:
+            for video, ids, feats in blocks:
+                feats = np.ascontiguousarray(feats).astype(np_dtype)
+                feature_dim = feature_dim or int(feats.shape[-1])
+                f_feat.write(feats.tobytes())
+                f_ids.write(np.asarray(ids, np.int64).tobytes())
+                meta_videos[video] = {"row_offset": offset,
+                                      "num_rows": len(ids)}
+                offset += len(ids)
+        (path / "meta.json").write_text(json.dumps({
+            "format": cls.MAGIC, "feature_dim": feature_dim,
+            "dtype": dtype, "videos": meta_videos}))
+        return cls(path)
+
+    @classmethod
     def write_stream(cls, path, rows, dtype: str = "float32"):
         """Streaming build from an iterator of (video, frame_id, feat_bytes)
         grouped by video with ascending frame ids — the order an LMDB cursor

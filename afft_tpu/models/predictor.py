@@ -104,14 +104,74 @@ class BaseFuturePredictor:
         x = L.layernorm_apply(params["ln_f"], x, 1e-5)
         return x, (jnp.stack(attns, axis=1) if collect_attn else None)
 
+    # -- KV-cache decode (multi-step rollouts) ---------------------------
+    def _block_cached(self, p, x, kv_cache, layer, pos, total):
+        """One block over new tokens x (B, S, C) with a preallocated
+        (B, L, Tmax, 2, H, hd) cache; writes this step's k/v at ``pos``."""
+        Bsz, S, C = x.shape
+        hd = C // self.n_head
+        h = L.layernorm_apply(p["ln_1"], x, 1e-5)
+        qkv = L.linear_apply(p["c_attn"], h).reshape(
+            Bsz, S, 3, self.n_head, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        kv_cache = jax.lax.dynamic_update_slice(
+            kv_cache, jnp.stack([k, v], axis=2)[:, None],
+            (0, layer, pos, 0, 0, 0))
+        ks = kv_cache[:, layer, :, 0]
+        vs = kv_cache[:, layer, :, 1]
+        # mask future/unwritten cache slots
+        Tmax = ks.shape[1]
+        key_pos = jnp.arange(Tmax)[None, :]
+        query_pos = pos + jnp.arange(S)[:, None]
+        mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf)
+        attn_out, _ = _attention_ops.multihead_attention(
+            q, ks, vs, mask=mask, return_weights=False)
+        attn_out = L.linear_apply(p["c_proj"], attn_out.reshape(Bsz, S, C))
+        x = x + attn_out
+        h = L.layernorm_apply(p["ln_2"], x, 1e-5)
+        h = L.gelu_new(L.linear_apply(p["c_fc"], h))
+        h = L.linear_apply(p["mlp_c_proj"], h)
+        return x + h, kv_cache
+
+    def _apply_kv_cache(self, params, feats, output_len: int):
+        """Eval-mode rollout with a KV cache: prefill T tokens once, then
+        decode output_len-1 single tokens (the reference's
+        past_key_values loop, models/future_prediction.py:396-412)."""
+        Bsz, T, C = feats.shape
+        hd = C // self.n_head
+        Tmax = T + output_len - 1
+        kv_cache = jnp.zeros((Bsz, self.n_layer, Tmax, 2, self.n_head, hd),
+                             feats.dtype)
+
+        def run(tokens, pos):
+            nonlocal kv_cache
+            x = tokens + jnp.take(params["wpe"],
+                                  pos + jnp.arange(tokens.shape[1]), axis=0)
+            for layer, p in enumerate(params["blocks"]):
+                x, kv_cache = self._block_cached(p, x, kv_cache, layer, pos,
+                                                 Tmax)
+            return L.layernorm_apply(params["ln_f"], x, 1e-5)
+
+        hidden = run(feats, 0)                       # prefill: (B, T, C)
+        outputs = [hidden]
+        last = hidden[:, -1:, :]
+        for i in range(output_len - 1):
+            last = run(last, T + i)                  # decode one token
+            outputs.append(last)
+        return jnp.concatenate(outputs, axis=1), {}
+
     def apply(self, params, feats, output_len: int = 1, *, train=False,
               rng: Optional[L.RngStream] = None) -> Tuple[jax.Array, dict]:
         """feats (B, T, C) -> (updated past + future, (B, T+output_len-1, C)).
 
         Step i > 0 feeds the previous step's last hidden state back with
-        position T+i-1 (reference models/future_prediction.py:396-412); with
-        tiny T a full re-run is equivalent to — and as cheap as — KV caching.
+        position T+i-1 (reference models/future_prediction.py:396-412).
+        Eval-mode multi-step rollouts use the KV-cache decode; the full
+        re-run below is the reference-faithful training path (dropout is
+        drawn per pass) and the single-pass case.
         """
+        if output_len > 1 and not train and not self.output_attentions:
+            return self._apply_kv_cache(params, feats, output_len)
         addl_endpoints = {}
         Bsz, T, C = feats.shape
         embeds = feats

@@ -63,14 +63,15 @@ def _build_bench_dataset(n_videos=6, clips_per_video=300):
         for a in range(N_CLASSES):
             f.write(f"{a}, {a % 97}_{a % 300}, Verb{a % 97}_Noun{a % 300}\n")
     for mod, dim in MODAL_DIMS.items():
-        def rows_iter(dim=dim):
+        def blocks_iter(dim=dim):
             for vid, length in video_len.items():
                 g = np.random.default_rng(hash((mod, vid)) % (2 ** 31))
-                step = 2  # features every other frame: backward search hits
-                for fid in range(1, length + 1, step):
-                    yield vid, fid, g.standard_normal(dim).astype(np.float32)
-        PackedFeatureStore.write_stream(
-            os.path.join(BENCH_DATA, "features", mod), rows_iter(),
+                ids = np.arange(1, length + 1, 2)  # every other frame:
+                feats = g.standard_normal((len(ids), dim),  # backward search
+                                          dtype=np.float32)
+                yield vid, ids, feats
+        PackedFeatureStore.write_blocks(
+            os.path.join(BENCH_DATA, "features", mod), blocks_iter(),
             dtype="bfloat16")
     open(os.path.join(annot_dir, "done"), "w").write("ok")
 
