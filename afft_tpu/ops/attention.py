@@ -51,13 +51,40 @@ def attention_reference(q, k, v, mask=None, *, attn_drop=0.0, train=False,
     return out, (attn if return_weights else None)
 
 
+@jax.custom_vjp
+def _fused_attention_ad(q, k, v, mask):
+    from .pallas_attn import fused_attention
+    return fused_attention(q, k, v, mask)
+
+
+def _fused_attention_fwd(q, k, v, mask):
+    from .pallas_attn import fused_attention
+    return fused_attention(q, k, v, mask), (q, k, v, mask)
+
+
+def _fused_attention_bwd(residuals, g):
+    # backward through the XLA reference formulation (identical math); the
+    # Pallas kernel stays the forward fast path
+    q, k, v, mask = residuals
+    def f(q, k, v):
+        return attention_reference(q, k, v, mask, return_weights=False)[0]
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_fused_attention_ad.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 def multihead_attention(q, k, v, mask=None, *, attn_drop=0.0, train=False,
                         rng: Optional[L.RngStream] = None,
                         return_weights=False) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Dispatch between the Pallas TPU kernel and the XLA reference path.
 
     The Pallas kernel does not return weights and has no dropout, so any
-    request for either falls back to XLA (XLA still fuses well there).
+    request for either falls back to XLA (XLA still fuses well there). The
+    Pallas path is differentiable via a custom VJP whose backward runs the
+    XLA formulation.
     """
     needs_fallback = (
         return_weights
@@ -69,5 +96,6 @@ def multihead_attention(q, k, v, mask=None, *, attn_drop=0.0, train=False,
         return attention_reference(
             q, k, v, mask, attn_drop=attn_drop, train=train, rng=rng,
             return_weights=return_weights)
-    from .pallas_attn import fused_attention
-    return fused_attention(q, k, v, mask), None
+    if mask is None:
+        mask = jnp.zeros((q.shape[1], k.shape[1]), q.dtype)
+    return _fused_attention_ad(q, k, v, mask), None
