@@ -35,7 +35,7 @@ from .checkpoint import (CKPT_BEST_DIRNAME, CKPT_LAST_DIRNAME,
                          init_from_model, load_checkpoint, save_checkpoint)
 from .metrics import MetricTracker
 from .mixup import MixUp
-from .runner import Runner, metrics_to_host
+from .runner import Runner
 from ..utils.logging import ExperimentLogger, ProfilerHook, human_format
 
 DATASET_TRAIN_CFG_KEY = "dataset_train"
