@@ -276,17 +276,6 @@ def parse_override_line(line: str) -> Optional[Override]:
     return Override(key.strip(), value.strip())
 
 
-def read_override_file(fpath: str) -> List[str]:
-    """Read an expt override file (same semantics as reference run.py:18-27)."""
-    res = []
-    with open(fpath) as fin:
-        for line in fin:
-            args = line.split("#")[0].strip()
-            if args:
-                res.append(args)
-    return res
-
-
 def compose(config_dir: str,
             overrides: Optional[List[str]] = None,
             config_name: str = "config") -> Config:

@@ -12,7 +12,6 @@ importing by module path — reference names like ``models.fusion.CMFuser`` or
 from __future__ import annotations
 
 import importlib
-from functools import partial
 from typing import Any, Callable, Dict
 
 from .config import Config
@@ -125,7 +124,3 @@ def call(cfg: Any, *args, **kwargs) -> Any:
     """hydra.utils.call equivalent (same as instantiate for functions)."""
     return instantiate(cfg, *args, **kwargs)
 
-
-def instantiate_partial(cfg: Any, **kwargs) -> Callable:
-    """Return a partial for deferred instantiation."""
-    return partial(instantiate, cfg, **kwargs)

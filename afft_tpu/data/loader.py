@@ -129,30 +129,45 @@ class BatchLoader:
                 return self.dataset.load_batch(chunk)
             return collate([self.dataset.get_item(i) for i in chunk])
 
+        def put_with_stop(item) -> bool:
+            """Bounded put that never deadlocks: gives up when the consumer
+            abandoned the iterator (stop set)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # bounded-lookahead pipeline: at most prefetch+2 batches in
             # flight, so memory stays constant on arbitrarily long epochs
             chunks = [indices[b * self.batch_size:(b + 1) * self.batch_size]
                       for b in range(n_batches)]
             inflight = []
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                next_i = 0
-                while (inflight or next_i < len(chunks)) \
-                        and not stop.is_set():
-                    while next_i < len(chunks) and \
-                            len(inflight) < self.prefetch + 2:
-                        inflight.append(
-                            (pool.submit(make_batch, chunks[next_i]),
-                             chunks[next_i]))
-                        next_i += 1
-                    fut, chunk = inflight.pop(0)
-                    batch = fut.result()
-                    if self.pad_final:
-                        batch = _pad_batch(batch, self.batch_size)
-                    else:
-                        batch["valid"] = np.ones(len(chunk), bool)
-                    out_q.put(batch)
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    next_i = 0
+                    while (inflight or next_i < len(chunks)) \
+                            and not stop.is_set():
+                        while next_i < len(chunks) and \
+                                len(inflight) < self.prefetch + 2:
+                            inflight.append(
+                                (pool.submit(make_batch, chunks[next_i]),
+                                 chunks[next_i]))
+                            next_i += 1
+                        fut, chunk = inflight.pop(0)
+                        batch = fut.result()
+                        if self.pad_final:
+                            batch = _pad_batch(batch, self.batch_size)
+                        else:
+                            batch["valid"] = np.ones(len(chunk), bool)
+                        if not put_with_stop(batch):
+                            return
+                put_with_stop(None)
+            except BaseException as e:  # surface loader errors, don't hang
+                put_with_stop(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -161,6 +176,8 @@ class BatchLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

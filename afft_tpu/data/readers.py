@@ -245,8 +245,12 @@ class PackedFeatureStore(FeatureStore):
             o, n = v["row_offset"], v["num_rows"]
             avail = self.frame_ids[o:o + n]
             rows, found = resolve_backward(avail, frame_ids[sel].ravel())
+            found = found.reshape(-1, T)
+            assert found.any(axis=1).all(), \
+                f"No features found for {video} (reference reader asserts " \
+                f"per clip, reader_fns.py:97)"
             global_rows[sel] = (o + rows).reshape(-1, T)
-            found_all[sel] = found.reshape(-1, T)
+            found_all[sel] = found
         out = np.asarray(self.features[global_rows.ravel()])
         out = out.reshape(B, T, self.feature_dim)
         out[~found_all] = 0

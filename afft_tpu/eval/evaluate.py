@@ -96,18 +96,20 @@ def main(cfg: Config):
                                transform_val, log)
     eval_batch = (cfg.eval.batch_size or cfg.train.batch_size * 4) * \
         jax.local_device_count()
+    # evaluation runs unsharded: every process sees the full set in dataset
+    # order so logits line up with dataset.df rows and the h5 export has one
+    # writer (matching reference test.py's single-process DataParallel eval);
+    # only the master prints/saves
+    if dist_info["world_size"] > 1:
+        log.info("multi-process eval: each process evaluates the full set")
     if cfg.get("data_on_device") and \
             getattr(dataset_test, "supports_batch_load", lambda: False)():
         from ..data.device_cache import DeviceFeatureCache
         cache = DeviceFeatureCache(dataset_test)
-        loader = cache.iter_batches(eval_batch, shuffle=False,
-                                    shard_id=dist_info["rank"],
-                                    num_shards=dist_info["world_size"])
+        loader = cache.iter_batches(eval_batch, shuffle=False)
     else:
         loader = BatchLoader(dataset_test, batch_size=eval_batch,
-                             shuffle=False, num_workers=cfg.workers,
-                             shard_id=dist_info["rank"],
-                             num_shards=dist_info["world_size"])
+                             shuffle=False, num_workers=cfg.workers)
 
     num_classes = {k: len(v) for k, v in dataset_test.classes.items()}
     model = BaseModel(cfg.model, num_classes=num_classes,
@@ -126,6 +128,8 @@ def main(cfg: Config):
     mesh = make_mesh()
     params = replicate_tree(mesh, params)
 
+    if dist_info["rank"] != 0:
+        return None  # master does the single-writer export/printout
     if cfg.get("save_name"):
         save_dir = os.path.join(cfg.cwd, LOGITS_DIR,
                                 str(cfg.init_from_model).split("/")[0])

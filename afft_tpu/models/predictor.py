@@ -105,7 +105,7 @@ class BaseFuturePredictor:
         return x, (jnp.stack(attns, axis=1) if collect_attn else None)
 
     # -- KV-cache decode (multi-step rollouts) ---------------------------
-    def _block_cached(self, p, x, kv_cache, layer, pos, total):
+    def _block_cached(self, p, x, kv_cache, layer, pos):
         """One block over new tokens x (B, S, C) with a preallocated
         (B, L, Tmax, 2, H, hd) cache; writes this step's k/v at ``pos``."""
         Bsz, S, C = x.shape
@@ -148,8 +148,7 @@ class BaseFuturePredictor:
             x = tokens + jnp.take(params["wpe"],
                                   pos + jnp.arange(tokens.shape[1]), axis=0)
             for layer, p in enumerate(params["blocks"]):
-                x, kv_cache = self._block_cached(p, x, kv_cache, layer, pos,
-                                                 Tmax)
+                x, kv_cache = self._block_cached(p, x, kv_cache, layer, pos)
             return L.layernorm_apply(params["ln_f"], x, 1e-5)
 
         hidden = run(feats, 0)                       # prefill: (B, T, C)

@@ -25,10 +25,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def supported(num_heads: int, head_dim: int) -> bool:
     return head_dim % 128 == 0
 

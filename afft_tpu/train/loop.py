@@ -66,10 +66,16 @@ def create_ckpt_path(cfg, interactive=True):
     os.makedirs(ckpt_path, exist_ok=True)
     best = os.path.join(ckpt_path, CKPT_BEST_DIRNAME)
     if os.path.exists(best) and not cfg.train.get("resume", False):
-        if interactive and os.isatty(0):
+        # reference train.py:179-185 raises unless explicitly confirmed;
+        # non-interactive runs must opt in via +overwrite=true
+        confirmed = bool(cfg.get("overwrite", False))
+        if not confirmed and interactive and os.isatty(0):
             ans = input("This experiment already exists. Override? (y/N) ")
-            if ans.strip().lower() not in ("y", "yes"):
-                raise ValueError("Experiment already exists; rename it.")
+            confirmed = ans.strip().lower() in ("y", "yes")
+        if not confirmed:
+            raise ValueError(
+                "This experiment is already done. Rename it, set "
+                "train.resume=true, or pass +overwrite=true.")
         import shutil
         shutil.rmtree(best, ignore_errors=True)
     return experiment_name, ckpt_path
@@ -290,6 +296,11 @@ def main(cfg: Config, interactive: bool = True):
                                 best_metric)
             save_checkpoint(last_path, params, opt_state, epoch + 1,
                             step_counter, best_metric)
+            every = cfg.train.get("checkpoint_every")
+            if every and (epoch + 1) % int(every) == 0:
+                save_checkpoint(
+                    os.path.join(ckpt_path, f"checkpoint_epoch{epoch + 1}"),
+                    params, opt_state, epoch + 1, step_counter, best_metric)
             exp_logger.log({
                 **metric_tracker.get_all_data(is_training=True),
                 **metric_tracker.get_all_data(is_training=False),

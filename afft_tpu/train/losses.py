@@ -152,13 +152,15 @@ def compute_losses_metrics(outputs: Dict, target: Dict,
                     past_logits, target_subclips[tgt_type], mixup_enable,
                     valid, ignore)
 
-        if "orig_past" in outputs and "past_futures" in outputs:
-            for modk, updated in outputs["past_futures"].items():
-                if modk not in outputs["orig_past"]:
-                    continue
-                diff = (updated[:, 1:] - outputs["orig_past"][modk][:, 1:])
-                per_sample = (diff ** 2).mean(axis=tuple(range(1, diff.ndim)))
-                losses[f"past_reg_{modk}"] = _masked_mean(per_sample, valid)
+    # target-independent feature regression (reference computes it inside
+    # the target loop, overwriting identical values; hoisted here)
+    if "orig_past" in outputs and "past_futures" in outputs:
+        for modk, updated in outputs["past_futures"].items():
+            if modk not in outputs["orig_past"]:
+                continue
+            diff = (updated[:, 1:] - outputs["orig_past"][modk][:, 1:])
+            per_sample = (diff ** 2).mean(axis=tuple(range(1, diff.ndim)))
+            losses[f"past_reg_{modk}"] = _masked_mean(per_sample, valid)
 
     return losses, metrics
 

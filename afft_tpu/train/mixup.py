@@ -68,12 +68,12 @@ class MixUp:
         self.ignore_cls = ignore_cls
 
     def __call__(self, rng, x_video: Dict, labels: Dict,
-                 labels_subclips: Optional[Dict]):
+                 labels_subclips: Optional[Dict], valid=None):
         lam = jax.random.beta(rng, self.alpha, self.alpha)
-        return self.mix(lam, x_video, labels, labels_subclips)
+        return self.mix(lam, x_video, labels, labels_subclips, valid)
 
     def mix(self, lam, x_video: Dict, labels: Dict,
-            labels_subclips: Optional[Dict]):
+            labels_subclips: Optional[Dict], valid=None):
         labels_out = {
             key: convert_to_one_hot(val, self.num_classes[key],
                                     self.label_smoothing.get(key, 0.0))
@@ -95,6 +95,11 @@ class MixUp:
         else:
             sel = jnp.ones((B,), bool)
             labels_subclips_out, ignore_masks = None, None
+
+        if valid is not None:
+            # padded rows (fixed-shape final batch) never participate in the
+            # mix — the reference operates on unpadded batches
+            sel = sel & valid
 
         # <=1 mixable rows: pass through unmixed (lam := 1)
         lam = jnp.where(sel.sum() <= 1, 1.0, lam)

@@ -137,14 +137,15 @@ class Runner:
         target_subclips = batch.get("target_subclips")
 
         mixup_fn, ignore = None, None
+        valid = batch.get("valid")
         if use_mixup and self.mixup is not None and self.mixup_backbone:
             mix_key, rng_key = jax.random.split(rng_key)
-            mixup_fn = functools.partial(self.mixup, mix_key)
+            mixup_fn = functools.partial(self.mixup, mix_key, valid=valid)
         elif use_mixup and self.mixup is not None:
             # input-level mixup (reference runner.py:246-253)
             mix_key, rng_key = jax.random.split(rng_key)
             data, target, target_subclips, ignore = self.mixup(
-                mix_key, data, target, target_subclips)
+                mix_key, data, target, target_subclips, valid=valid)
 
         rng = L.RngStream(rng_key) if train else None
         outputs, outputs_target = self.model.apply(
@@ -238,9 +239,3 @@ class Runner:
     def eval_step(self, params, batch, accum=None):
         return self._eval_step(params, self._device_batch(batch), accum)
 
-
-def metrics_to_host(losses, metrics):
-    """Merge loss/metric dicts for MetricTracker. Values stay as device
-    scalars / arrays — the meters accumulate them lazily on device and only
-    epoch-end queries read back."""
-    return {**losses, **metrics}

@@ -222,3 +222,71 @@ def test_challenge_marginalization_matches_reference(synth_dataset):
               "atop1", "atop5", "amt5r"):
         np.testing.assert_allclose(accs[k], float(d[f"acc::{k}"]),
                                    rtol=1e-9, err_msg=k)
+
+
+def test_loader_propagates_worker_errors():
+    """A failing item load must raise in the consumer, not hang the loader
+    (the producer forwards exceptions through the queue)."""
+    class Broken:
+        def __len__(self):
+            return 10
+
+        def get_item(self, idx):
+            raise RuntimeError("boom")
+
+    loader = BatchLoader(Broken(), batch_size=4, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
+def test_loader_early_break_does_not_leak(synth_dataset):
+    """Breaking out of iteration must release the producer thread."""
+    import threading
+    before = threading.active_count()
+    for _ in range(5):
+        for i, b in enumerate(BatchLoader(synth_dataset, batch_size=4,
+                                          num_workers=2, prefetch=1)):
+            break
+    import time
+    time.sleep(1.0)
+    assert threading.active_count() <= before + 2
+
+
+def test_get_frames_batch_asserts_on_unresolvable_clip(synth_dataset):
+    from afft_tpu.data.readers import PackedFeatureStore
+    store = next(iter(synth_dataset.reader_fn.values())).stores[0]
+    video = next(iter(store.videos))
+    max_id = int(store.available_frames(video).max())
+    with pytest.raises(AssertionError, match="No features found"):
+        store.get_frames_batch([video], np.array([[max_id + 100,
+                                                   max_id + 101]]))
+
+
+def test_ek100_pkl_parsing_matches_reference():
+    """Original EPIC pkl annotations (the shipped val config path):
+    timestamp parsing, video paths, anticipation windows vs the reference."""
+    d = _load("data_ek100_pkl.npz")
+    ds = EPICKitchens(
+        annotation_path=["annotations/ek100_ori/EPIC_100_validation.pkl"],
+        annotation_dir="annotations/ek100_ori/",
+        rulstm_annotation_dir="annotations/ek100_rulstm/",
+        action_labels_fpath="annotations/ek100_rulstm/actions.csv",
+        version=0.2, label_type="action", sample_strategy="last_clip",
+        conv_to_anticipate_fn={
+            "_target_": "datasets.base_video_dataset.convert_to_anticipation",
+            "tau_a": 1, "tau_o": 16, "drop_style": "correct"},
+        reader_fn={}, frames_per_clip=16, frame_rate=1,
+        load_seg_labels=False,
+    )
+    assert len(ds.df) == len(d["df::start"])
+    assert len(ds.discarded_df) == int(d["n_discarded"])
+    np.testing.assert_array_equal(
+        np.asarray(ds.df.narration_id.tolist(), dtype="U"),
+        d["df::narration_id"])
+    np.testing.assert_allclose(ds.df.start.values, d["df::start"])
+    np.testing.assert_allclose(ds.df.end.values, d["df::end"])
+    np.testing.assert_array_equal(ds.df.action_class.values,
+                                  d["df::action_class"])
+    np.testing.assert_array_equal(
+        np.asarray([str(p) for p in ds.df.video_path.tolist()], dtype="U"),
+        d["df::video_path"])

@@ -187,6 +187,35 @@ def main():
     print(f"saved data_ek100: {len(ek.df)} rows kept, "
           f"{len(ek.discarded_df)} discarded")
 
+    # --- EK100 original-pkl annotation path (the shipped val config) -------
+    ek_pkl = EPICKitchens(
+        annotation_path=["/root/repo/annotations/ek100_ori/"
+                         "EPIC_100_validation.pkl"],
+        annotation_dir="/root/repo/annotations/ek100_ori/",
+        rulstm_annotation_dir="/root/repo/annotations/ek100_rulstm/",
+        action_labels_fpath="/root/repo/annotations/ek100_rulstm/actions.csv",
+        version=0.2, label_type="action", sample_strategy="last_clip",
+        conv_to_anticipate_fn={
+            "_target_": "datasets.base_video_dataset.convert_to_anticipation",
+            "tau_a": 1, "tau_o": 16, "drop_style": "correct"},
+        reader_fn={}, frames_per_clip=16, frame_rate=1,
+        frame_subclips_options={"num_frames": 1, "stride": 1},
+        sec_subclips_options={"num_frames": 1, "stride": 1},
+        load_seg_labels=False, transforms={},
+    )
+    np.savez_compressed(OUTDIR / "data_ek100_pkl.npz", **{
+        "df::narration_id": np.asarray(ek_pkl.df.narration_id.tolist(),
+                                       dtype="U"),
+        "df::start": ek_pkl.df.start.values.astype(np.float64),
+        "df::end": ek_pkl.df.end.values.astype(np.float64),
+        "df::action_class": ek_pkl.df.action_class.values.astype(np.int64),
+        "df::video_path": np.asarray(
+            [str(p) for p in ek_pkl.df.video_path.tolist()], dtype="U"),
+        "n_discarded": np.int64(len(ek_pkl.discarded_df)),
+    })
+    print(f"saved data_ek100_pkl: {len(ek_pkl.df)} rows, "
+          f"{len(ek_pkl.discarded_df)} discarded")
+
     # --- challenge / marginalization eval fixture --------------------------
     # random logits on the synthetic dataset through the reference's
     # marginalize_verb_noun + compute_accuracies_epic (needs numpyencoder
