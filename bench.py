@@ -63,10 +63,14 @@ def _build_bench_dataset(n_videos=6, clips_per_video=300):
         for a in range(N_CLASSES):
             f.write(f"{a}, {a % 97}_{a % 300}, Verb{a % 97}_Noun{a % 300}\n")
     for mod, dim in MODAL_DIMS.items():
-        def blocks_iter(dim=dim):
+        def blocks_iter(dim=dim, mod=mod):
             for vid, length in video_len.items():
                 g = np.random.default_rng(hash((mod, vid)) % (2 ** 31))
-                ids = np.arange(1, length + 1, 2)  # every other frame:
+                # audio features are indexed in native-video fps (50 here,
+                # 3-char suffix): store ids over the remapped range
+                max_id = int(length * 50 / 30) + 2 if mod == "audio" \
+                    else length
+                ids = np.arange(1, max_id + 1, 2)  # every other frame:
                 feats = g.standard_normal((len(ids), dim),  # backward search
                                           dtype=np.float32)
                 yield vid, ids, feats

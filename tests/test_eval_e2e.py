@@ -1,0 +1,87 @@
+"""End-to-end evaluation: evaluate() through the real pipeline must agree
+with independently-computed metrics from the same logits (SURVEY §4 plan
+item e: metric-level integration on the synthetic set)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from afft_tpu.config import compose
+from afft_tpu.data.loader import BatchLoader
+from afft_tpu.eval.evaluate import _forward_all, evaluate
+from afft_tpu.models import BaseModel
+from afft_tpu.parallel.mesh import make_mesh, replicate_tree
+from afft_tpu.train.metrics import topk_accuracy, topk_recall
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+SYNTH = os.path.join(FIXTURES, "synth")
+ANNOT = os.path.join(SYNTH, "annotations")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from afft_tpu.data.epic import EPICKitchens
+    if not os.path.exists(ANNOT):
+        pytest.skip("synthetic dataset missing")
+    ds = EPICKitchens(
+        annotation_path=[os.path.join(ANNOT, "validation1.csv")],
+        annotation_dir=ANNOT, rulstm_annotation_dir=ANNOT,
+        action_labels_fpath=os.path.join(ANNOT, "actions.csv"),
+        version=-1, label_type="action", sample_strategy="last_clip",
+        conv_to_anticipate_fn={
+            "_target_": "datasets.base_video_dataset.convert_to_anticipation",
+            "tau_a": 0.5, "tau_o": 10, "drop_style": "correct"},
+        reader_fn={m: {
+            "_target_": "datasets.reader_fns.EpicRULSTMFeatsReader",
+            "lmdb_path": os.path.join(SYNTH, "features_packed", m)}
+            for m in ("rgb", "flow")},
+        frames_per_clip=10, frame_rate=1, load_seg_labels=False)
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:24, flow:24}", "model.common_dim=24",
+        "model.common.fp_inter_dim=48", "model.common.fp_layers=2",
+        "model.common.fp_heads=2", "model.fuser.depth=2",
+        "model.fuser.num_heads=2"])
+    model = BaseModel(cfg.model,
+                      num_classes={k: len(v) for k, v in ds.classes.items()},
+                      class_mappings=ds.class_mappings)
+    params = model.init(jax.random.key(7))
+    mesh = make_mesh(jax.devices()[:1])
+    params = replicate_tree(mesh, params)
+    return ds, model, params, mesh
+
+
+def test_evaluate_agrees_with_manual_metrics(setup):
+    ds, model, params, mesh = setup
+    loader = BatchLoader(ds, batch_size=6, shuffle=False, num_workers=2)
+    accs = evaluate(model, params, ds,
+                    BatchLoader(ds, batch_size=6, shuffle=False,
+                                num_workers=2), mesh)
+
+    # recompute independently from collected logits
+    chunks = [c for c, _, _ in _forward_all(model, params, loader, mesh)]
+    logits = np.concatenate(chunks, axis=0)
+    labels = ds.df.action_class.values
+    atop1, atop5 = topk_accuracy(logits, labels, ks=(1, 5))
+    amt5r = topk_recall(logits, labels, k=5)
+    np.testing.assert_allclose(accs["atop1"], atop1 * 100, rtol=1e-9)
+    np.testing.assert_allclose(accs["atop5"], atop5 * 100, rtol=1e-9)
+    np.testing.assert_allclose(accs["amt5r"], amt5r * 100, rtol=1e-9)
+
+    # marginalized verb metrics use the mapping matrix: verify by hand
+    from afft_tpu.eval.challenge import softmax
+    cm = ds.class_mappings
+    verb_scores = softmax(logits, -1) @ np.asarray(cm[("verb", "action")])
+    vtop1 = topk_accuracy(verb_scores, ds.df.verb_class.values, ks=(1,))[0]
+    np.testing.assert_allclose(accs["vtop1"], vtop1 * 100, rtol=1e-9)
+
+
+def test_evaluate_order_matches_dataset_rows(setup):
+    """Logit row i must correspond to dataset.df row i (uids align)."""
+    ds, model, params, mesh = setup
+    loader = BatchLoader(ds, batch_size=7, shuffle=False, num_workers=2)
+    uids = np.concatenate(
+        [u for _, u, _ in _forward_all(model, params, loader, mesh)])
+    np.testing.assert_array_equal(uids.astype(np.int64),
+                                  ds.df.uid.values.astype(np.int64))
