@@ -38,6 +38,11 @@ def init_distributed(logger=None):
         "num_devices": jax.device_count(),
         "local_devices": jax.local_device_count(),
     }
+    if info["distributed"] and info["rank"] != 0:
+        # non-master processes log errors only
+        # (reference utils.setup_for_distributed, common/utils.py:97-116)
+        import logging as _logging
+        _logging.getLogger().setLevel(_logging.ERROR)
     if logger is not None:
         logger.info("jax devices: %d global / %d local, process %d/%d",
                     info["num_devices"], info["local_devices"],
