@@ -71,3 +71,13 @@ def replicate_tree(mesh: Mesh, tree):
     """Replicate params/optimizer state across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def gather_from_all(array):
+    """Gather per-process arrays to every process, concatenated on axis 0
+    (reference utils.gather_from_all, common/utils.py:207-232)."""
+    if jax.process_count() == 1:
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(np.asarray(array))
+    return np.concatenate(list(gathered), axis=0)
