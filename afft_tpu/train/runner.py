@@ -131,6 +131,13 @@ class Runner:
 
     # ------------------------------------------------------------------
     def _forward(self, params, batch, *, train, rng_key, use_mixup):
+        if self.compute_dtype != jnp.float32:
+            # mixed precision: fp32 master params, reduced-precision compute;
+            # the cast is inside the differentiated function, so grads come
+            # back fp32 for the optimizer
+            params = jax.tree.map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
         data = {m: v.astype(self.compute_dtype)
                 for m, v in batch["data_dict"].items()}
         target = batch["target"]

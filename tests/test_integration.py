@@ -243,3 +243,50 @@ def test_multiprocess_distributed(tmp_path):
         capture_output=True, text=True, timeout=280, env=env, cwd=repo)
     assert "multihost check ok" in res.stdout, \
         f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
+
+
+def test_mixed_precision_training_step():
+    """compute_dtype=bfloat16: fp32 master params, bf16 compute; grads flow
+    back fp32 and the loss decreases."""
+    cfg = tiny_cfg()
+    model = BaseModel(cfg.model, num_classes={"action": 13})
+    params = model.init(jax.random.key(0))
+    groups = O.build_group_tree(params, None, 0.05, 1e-6)
+    opt = O.sgd(momentum=0.9, nesterov=True)
+    opt_state = opt.init(params, groups)
+    runner = Runner(model, opt, groups,
+                    loss_wts={"cls_action": 1.0, "past_cls_action": 0.0,
+                              "past_reg": 0.0},
+                    mixup=None, compute_dtype=jnp.bfloat16)
+    batch = make_batch(cfg)
+    mesh = make_mesh(jax.devices()[:1])
+    db = shard_batch(mesh, batch)
+    losses_t = []
+    accum = None
+    for step in range(30):
+        params, opt_state, losses, _, accum = runner.train_step(
+            params, opt_state, db, 0.05, 0.05, jax.random.key(step),
+            accum=accum)
+        losses_t.append(float(losses["total_loss"]))
+    assert jax.tree.leaves(params)[0].dtype == jnp.float32  # master fp32
+    assert losses_t[-1] < losses_t[0] * 0.8, losses_t[::10]
+
+
+def test_device_metric_meter_matches_host():
+    """MeanTopKRecallMeter device payload updates equal host updates."""
+    from afft_tpu.train.metrics import MeanTopKRecallMeter
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((32, 9)).astype(np.float32)
+    labels = rng.integers(0, 9, 32)
+    valid = rng.random(32) > 0.2
+
+    host = MeanTopKRecallMeter("m", 9)
+    host.update({"logits": logits, "labels": labels, "valid": valid})
+
+    dev = MeanTopKRecallMeter("m", 9)
+    top5 = np.asarray(jax.lax.top_k(jnp.asarray(logits), 5)[1])
+    dev.update({"top5": jnp.asarray(top5), "labels": jnp.asarray(labels),
+                "valid": jnp.asarray(valid)})
+    np.testing.assert_allclose(np.asarray(dev.tps), host.tps)
+    np.testing.assert_allclose(np.asarray(dev.nums), host.nums)
+    assert abs(dev.value - host.value) < 1e-5
