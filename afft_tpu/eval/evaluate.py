@@ -14,6 +14,7 @@ from collections import defaultdict
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, instantiate
@@ -54,7 +55,10 @@ def _forward_all(model, params, loader, mesh, num_heads_key="logits/action"):
     @jax.jit
     def fwd(p, data):
         outputs, _ = model.apply(p, data, train=False)
-        return outputs[num_heads_key][modk][:, 0, :]
+        # fp32 cast ON DEVICE: np.asarray of a bf16 device array aborts the
+        # TPU backend on this platform; fp32 readback is also what the h5
+        # export and marginalization math need
+        return outputs[num_heads_key][modk][:, 0, :].astype(jnp.float32)
 
     for batch in loader:
         data = batch["data_dict"]

@@ -64,6 +64,19 @@ class _BlockStack:
 
     def apply(self, params, x, attn_mask=None, *, train=False, rng=None,
               need_weights=True):
+        from ..ops import pallas_block as PB
+        if (not need_weights and not train and
+                PB.use_fused_block(x, self.dim, self.num_heads,
+                                   int(self.dim * self.mlp_ratio))):
+            # inference fast path: each block is ONE Pallas kernel (LN+qkv+
+            # n-token attention+proj+MLP, VMEM-resident) — ~30% faster than
+            # the XLA op-by-op path on the (B*T, n<=6, C) fusion shapes
+            for blk_p in params["blocks"]:
+                x = PB.fused_block(x, blk_p, attn_mask,
+                                   num_heads=self.num_heads,
+                                   eps=self.norm_eps)
+            x = L.layernorm_apply(params["norm"], x, self.norm_eps)
+            return x, [None] * self.depth
         attn_weights = []
         for blk_p, dp in zip(params["blocks"], self.dpr):
             x, w = B.block_apply(

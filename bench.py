@@ -134,14 +134,21 @@ def bench_end_to_end(n_epochs=3):
         for b in cache.iter_batches(BATCH, shuffle=False):
             out = fwd(params, b["data_dict"])
             n += int(b["valid"].sum())
-        out.block_until_ready()
+        # block_until_ready returns WITHOUT waiting on this platform; a tiny
+        # fp32 readback of the last output is the only reliable barrier.
+        # Device execution is in-order, so draining the final program drains
+        # the whole epoch. (bf16 readback aborts the backend: cast first.)
+        np.asarray(out[:1, :8].astype(jnp.float32))
         return n
 
     run_epoch()  # compile warmup
     best = 0.0
+    # several timed windows of several epochs each: readback latency spikes
+    # >10x on this setup, so amortize (many batches per sync) and take the
+    # best window (spikes only ever slow a window down)
     for _ in range(max(n_epochs, 3)):
         t0 = time.perf_counter()
-        n = run_epoch()
+        n = sum(run_epoch() for _ in range(2))
         best = max(best, n / (time.perf_counter() - t0))
     return best
 
@@ -185,15 +192,22 @@ def bench_afft(n_warmup=3, n_iters=20):
                  for m, v in host_batches[i % len(host_batches)].items()}
         return fwd(params, feats)
 
+    def sync(out):
+        # forced readback: block_until_ready is a no-op on this platform
+        np.asarray(out[:1, :8].astype(jnp.float32))
+
     for i in range(n_warmup):
-        step(i).block_until_ready()
-    t0 = time.perf_counter()
-    out = None
-    for i in range(n_iters):
-        out = step(i)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return BATCH * n_iters / dt
+        sync(step(i))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n_iters):
+            out = step(i)
+        sync(out)
+        dt = time.perf_counter() - t0
+        best = max(best, BATCH * n_iters / dt)
+    return best
 
 
 def bench_torch_baseline(n_warmup=1, n_iters=3):
@@ -252,14 +266,29 @@ def get_torch_baseline():
     return clips_per_sec
 
 
+# analytic model FLOPs per clip (B=1, T=16, flagship): fuser 6 blocks over
+# (T, 5, 1024) tokens ~12.1G + GPT-2 6 layers n_embd=2048 over T=16 ~9.7G +
+# mappings/codec/classifier ~1.2G  => ~23 GFLOP forward
+FLOPS_PER_CLIP = 23.0e9
+V5E_BF16_PEAK = 197e12  # TPU v5e spec peak, bf16 (394 TOPS is the int8 peak)
+
+
 def main():
     value = bench_end_to_end()
+    # physical sanity: implied sustained FLOPS must be below chip peak,
+    # otherwise the synchronization is broken and the number is an artifact
+    implied = value * FLOPS_PER_CLIP
+    assert implied < V5E_BF16_PEAK, \
+        f"implausible throughput {value:.0f} clips/s -> {implied / 1e12:.0f} " \
+        f"TFLOPS sustained > {V5E_BF16_PEAK / 1e12:.0f} peak; sync is broken"
     baseline = get_torch_baseline()
     print(json.dumps({
         "metric": "EK100 val clips/sec/chip",
         "value": round(value, 2),
         "unit": "clips/s",
         "vs_baseline": round(value / baseline, 2),
+        "ms_per_batch": round(BATCH / value * 1000, 2),
+        "mfu": round(value * FLOPS_PER_CLIP / V5E_BF16_PEAK, 3),
     }))
 
 

@@ -40,3 +40,35 @@ def test_unsupported_head_dim_falls_back():
     out, _ = multihead_attention(q, k, v)  # hd=16: must use the XLA path
     ref, _ = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+class TestFusedBlock:
+    """Pallas fully-fused fuser block vs the XLA op-by-op block
+    (interpret mode; the real-TPU equality check lives in
+    tools/tpu_smoke.py)."""
+
+    @pytest.mark.parametrize("mask_kind", [None, "diag"])
+    @pytest.mark.parametrize("affine", [True, False])
+    def test_matches_xla_block(self, mask_kind, affine):
+        import jax
+        from afft_tpu.models import blocks as B
+        from afft_tpu.ops.pallas_block import fused_block, supported
+
+        R, N, C, H = 24, 5, 256, 2
+        assert supported(N, C, H, C * 4)
+        p = B.block_init(jax.random.key(0), C, H, norm_affine=affine)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((R, N, C)), jnp.float32)
+        mask = cross_attention_diag_mask(N) if mask_kind else None
+        ref, _ = B.block_apply(p, x, H, mask, norm_eps=1e-6, train=False,
+                               need_weights=False)
+        out = fused_block(x, p, mask, num_heads=H, interpret=True,
+                          block_r=16)  # uneven 24/16: exercises masking
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_shape_gate(self):
+        from afft_tpu.ops.pallas_block import supported
+        assert not supported(9, 256, 2, 1024)    # too many tokens
+        assert not supported(5, 192, 2, 768)     # head_dim 96 not 128-mult
+        assert supported(6, 1024, 4, 4096)       # SA-Fuser flagship shape
