@@ -32,15 +32,19 @@ def supported(num_heads: int, head_dim: int) -> bool:
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
                  num_heads: int, head_dim: int):
     # blocks: (TB, Nq, C) q/o, (TB, Nk, C) k/v, (Nq, Nk) mask
+    # precision pinned per-dtype: an ambient default_matmul_precision
+    # ("highest") context otherwise leaks in, and Mosaic rejects
+    # HIGHEST-precision bf16 dots ("Bad lhs type")
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh = q_ref[:, :, sl]
         kh = k_ref[:, :, sl]
         vh = v_ref[:, :, sl]
+        prec = None if qh.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
         attn = jax.lax.dot_general(
             qh, kh,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ) * scale
         attn = attn + mask_ref[:]
         attn = attn - jnp.max(attn, axis=-1, keepdims=True)
@@ -50,6 +54,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
             attn.astype(vh.dtype), vh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=(None if vh.dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT),
         )
         o_ref[:, :, sl] = out.astype(o_ref.dtype)
 

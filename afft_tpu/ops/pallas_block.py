@@ -62,9 +62,15 @@ def use_fused_block(x, dim: int, num_heads: int, mlp_hidden: int) -> bool:
 
 
 def _dot(a, b, out_dtype=jnp.float32):
+    # fp32 operands inherit the ambient matmul precision, exactly like the
+    # XLA path (so jax.default_matmul_precision("highest") makes both sides
+    # true-fp32). bf16 operands pin DEFAULT: Mosaic rejects
+    # HIGHEST-precision bf16 dots ("Bad lhs type") if the ambient context
+    # leaks in.
+    prec = None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=out_dtype)
+        preferred_element_type=out_dtype, precision=prec)
 
 
 def _layernorm(x32, g_ref, b_ref, eps):
@@ -168,7 +174,7 @@ def _as_row(x, dim, dtype):
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret",
                                              "block_r"))
 def fused_block(x, params, mask=None, *, num_heads: int, eps: float = 1e-6,
-                interpret: bool = False, block_r: int = 256):
+                interpret: bool = False, block_r: int = 0):
     """Run one pre-LN transformer block on (R, N, C) tokens in one kernel.
 
     ``params`` is the afft_tpu block pytree: norm1/attn{qkv,proj}/norm2/
@@ -176,6 +182,10 @@ def fused_block(x, params, mask=None, *, num_heads: int, eps: float = 1e-6,
     (N, N) attention mask or None. Returns (R, N, C) in x.dtype.
     """
     R, N, C = x.shape
+    if not block_r:
+        # fp32 tiles at HIGHEST matmul precision spill far more registers
+        # than bf16; halve the row tile to stay inside VMEM
+        block_r = 256 if x.dtype == jnp.bfloat16 else 128
     head_dim = C // num_heads
     wqkv = params["attn"]["qkv"]["w"]
     wfc1 = params["mlp"]["fc1"]["w"]

@@ -1,0 +1,114 @@
+"""On-TPU smoke checks the driver/bench flow can run.
+
+Validates on REAL hardware (not interpret mode) the things the CPU test
+suite cannot:
+  1. Pallas fused attention == XLA attention (fp32 tolerance)
+  2. Pallas fused fuser block == XLA op-by-op block (bf16 + fp32)
+  3. save_logits-style readback roundtrip with bf16 params (the bf16
+     device->host np.asarray abort regression: logits must be fp32-cast
+     on device, afft_tpu/eval/evaluate.py)
+
+Exit code 0 and a one-line OK per check on success. Run: python
+tools/tpu_smoke.py. Honest timing everywhere: block_until_ready is a
+no-op on this platform, so syncs are forced fp32 readbacks.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu", \
+        f"tpu_smoke needs a TPU backend, got {jax.default_backend()}"
+
+    # --- 1. fused attention vs XLA on hardware -----------------------------
+    from afft_tpu.ops.attention import attention_reference
+    from afft_tpu.ops.pallas_attn import fused_attention
+    rng = np.random.default_rng(0)
+    B, N, H, hd = 64, 16, 4, 512  # GPT-2 predictor site
+    q, k, v = [jnp.asarray(rng.standard_normal((B, N, H, hd)), jnp.float32)
+               for _ in range(3)]
+    ref, _ = jax.jit(lambda q, k, v: attention_reference(
+        q, k, v, return_weights=False))(q, k, v)
+    out = jax.jit(lambda q, k, v: fused_attention(q, k, v))(q, k, v)
+    err = float(jnp.abs(out - ref).max())
+    assert err < 1e-4, f"pallas attention mismatch on TPU: {err}"
+    print(f"OK pallas-attention==xla on TPU (max|diff|={err:.2e})")
+
+    # --- 2. fused block vs XLA block on hardware ----------------------------
+    from afft_tpu.models import blocks as BL
+    from afft_tpu.models.layers import cross_attention_diag_mask
+    from afft_tpu.ops.pallas_block import fused_block
+    R, Ntok, C, Hh = 512, 5, 1024, 4
+    p = BL.block_init(jax.random.key(0), C, Hh)
+    mask = cross_attention_diag_mask(Ntok)
+    for dt, tol in [(jnp.float32, 1e-4), (jnp.bfloat16, 3e-2)]:
+        pd = jax.tree.map(lambda a: a.astype(dt), p)
+        x = jnp.asarray(rng.standard_normal((R, Ntok, C)), jnp.float32) \
+            .astype(dt)
+        # both sides under 'highest' so the fp32 comparison is true fp32:
+        # with default ambient precision, TPU fp32 matmuls run as bf16
+        # passes on BOTH paths and the comparison would only be bf16-tight
+        with jax.default_matmul_precision("highest"):
+            ref = jax.jit(lambda p, x: BL.block_apply(
+                p, x, Hh, mask, norm_eps=1e-6, train=False,
+                need_weights=False)[0])(pd, x)
+            out = jax.jit(lambda p, x: fused_block(
+                x, p, mask, num_heads=Hh))(pd, x)
+        a = np.asarray(ref.astype(jnp.float32))
+        b = np.asarray(out.astype(jnp.float32))
+        err = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-9))
+        assert err < tol, f"fused block mismatch ({dt}): rel {err}"
+        print(f"OK fused-block==xla on TPU ({np.dtype(dt).name}, "
+              f"rel|diff|={err:.2e})")
+
+    # --- 3. bf16-params logits export roundtrip -----------------------------
+    import tempfile
+
+    import h5py
+    from afft_tpu.eval.evaluate import store_append_h5
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:256, objects:128}",
+        "model.common_dim=256",
+        "model.fuser.depth=2",
+        "model.common.fp_layers=2",
+        "model.common.fp_inter_dim=512",
+    ])
+    model = BaseModel(cfg.model, num_classes={"action": 97})
+    params = model.init(jax.random.key(1))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def fwd(p, feats):
+        outputs, _ = model.apply(p, feats, train=False)
+        # the fp32 on-device cast under test
+        return outputs["logits/action"]["all-fused"][:, 0, :] \
+            .astype(jnp.float32)
+
+    feats = {m: jnp.asarray(
+        rng.standard_normal((8, 6, d)).astype(np.float32)).astype(
+        jnp.bfloat16) for m, d in [("rgb", 256), ("objects", 128)]}
+    logits = np.asarray(fwd(params, feats))  # must not abort the backend
+    assert logits.dtype == np.float32 and np.isfinite(logits).all()
+    with tempfile.TemporaryDirectory() as d:
+        store_append_h5({"logits/action_all-fused": logits}, d, "t.h5")
+        store_append_h5({"logits/action_all-fused": logits}, d, "t.h5")
+        with h5py.File(os.path.join(d, "t.h5")) as f:
+            back = f["logits/action_all-fused"][:]
+        assert back.shape == (16, 97)
+        np.testing.assert_array_equal(back[:8], logits)
+    print("OK bf16-params logits export roundtrip on TPU")
+    print("TPU SMOKE: ALL OK")
+
+
+if __name__ == "__main__":
+    main()
