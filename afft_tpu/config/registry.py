@@ -56,6 +56,9 @@ _ALIASES: Dict[str, str] = {
     "common.scheduler.WarmupMultiStepLR": "afft_tpu.train.optim:multistep_schedule",
     "common.scheduler.Warmup": "afft_tpu.train.optim:warmup_wrap",
     "torch.optim.lr_scheduler.MultiStepLR": "afft_tpu.train.optim:multistep_schedule",
+    "common.scheduler.ReduceLROnPlateau": "afft_tpu.train.optim:plateau_schedule",
+    "torch.optim.lr_scheduler.ReduceLROnPlateau":
+        "afft_tpu.train.optim:plateau_schedule",
 }
 
 

@@ -144,15 +144,17 @@ class FeatureClipDataset:
         self.action_classes = action_classes or {}
         self.dummy_label = dummy_label
         self.rng = np.random.default_rng(random_seed)
-        self.frame_subclips_options = frame_subclips_options or \
-            {"num_frames": 1, "stride": 1}
-        self.sec_subclips_options = sec_subclips_options or \
-            {"num_frames": 1, "stride": 1}
-        for opts in (self.frame_subclips_options, self.sec_subclips_options):
-            assert dict(opts) == {"num_frames": 1, "stride": 1}, \
-                "only {num_frames:1, stride:1} subclips are supported " \
-                "(every shipped reference config uses them; " \
-                "reference conf/data/default.yaml)"
+        self.frame_subclips_options = dict(frame_subclips_options or
+                                           {"num_frames": 1, "stride": 1})
+        self.sec_subclips_options = dict(sec_subclips_options or
+                                         {"num_frames": 1, "stride": 1})
+        # num_frames/stride != 1 -> sliding-window temporal re-expansion
+        # (reference _get_subclips, base_video_dataset.py:401-415 + the
+        # flatten at base_model.py:44-45). Served by the per-item path; the
+        # vectorized clip plan covers the {1,1} case of every shipped config.
+        self._default_subclips = (
+            self.frame_subclips_options == {"num_frames": 1, "stride": 1}
+            and self.sec_subclips_options == {"num_frames": 1, "stride": 1})
 
         # readers: {mod: EpicRULSTMFeatsReader-like}; dict configs are
         # instantiated through the registry (reference reader_fn TargetConf)
@@ -181,10 +183,11 @@ class FeatureClipDataset:
         # reference recomputes window math and scans pandas per item — its
         # input pipeline bottleneck, SURVEY §7 hard parts)
         self._plan = None
-        try:
-            self._plan = self._build_plan()
-        except Exception as e:  # raw-video readers, exotic configs
-            logging.info("clip-plan disabled (%s); using per-item path", e)
+        if self._default_subclips:
+            try:
+                self._plan = self._build_plan()
+            except Exception as e:  # raw-video readers, exotic configs
+                logging.info("clip-plan disabled (%s); using per-item path", e)
 
     def _compute_stats_cls_counts(self):
         """Per-class sample counts incl. the -1 bucket
@@ -472,6 +475,41 @@ class FeatureClipDataset:
             labels[tname] = int(row[col]) if col in row else self.dummy_label
         return labels
 
+    @staticmethod
+    def _subclip_index(total: int, num_frames: int, stride: int):
+        """Window start indices of reference _get_subclips
+        (base_video_dataset.py:401-415): sampled from the back so the last
+        window ends exactly at the clip end."""
+        starts = list(range(total - num_frames, -num_frames, -stride))[::-1]
+        if not starts or starts[0] < 0:
+            # the reference generates these negative window starts too, then
+            # crashes in torch.stack on the ragged slices they produce;
+            # surface it as a config error instead
+            raise ValueError(
+                f"subclip options num_frames={num_frames} stride={stride} "
+                f"produce a negative window start on {total} frames "
+                f"(starts {starts}); the reference _get_subclips errors on "
+                f"such configs as well")
+        return np.asarray(starts, np.int64)
+
+    def _apply_subclips(self, item: Dict) -> Dict:
+        """General subclips: features (T, F) -> (S*num_frames, F) — the
+        windows stack that reference base_model.py:44-45 flattens into the
+        temporal axis — and video_frame_sec (T,) -> (S', num_frames')."""
+        f_nf = self.frame_subclips_options["num_frames"]
+        f_st = self.frame_subclips_options["stride"]
+        s_nf = self.sec_subclips_options["num_frames"]
+        s_st = self.sec_subclips_options["stride"]
+        for mod, feats in item["data_dict"].items():
+            starts = self._subclip_index(len(feats), f_nf, f_st)
+            gather = (starts[:, None] + np.arange(f_nf)[None]).reshape(-1)
+            item["data_dict"][mod] = feats[gather]
+        vfs = item["video_frame_sec"]
+        starts = self._subclip_index(len(vfs), s_nf, s_st)
+        item["video_frame_sec"] = vfs[starts[:, None]
+                                      + np.arange(s_nf)[None]]  # (S', nf')
+        return item
+
     def get_item(self, idx: int) -> Dict:
         if self._plan is not None:
             return self._get_item_fast(idx)
@@ -490,12 +528,19 @@ class FeatureClipDataset:
             "start": row["start"],
             "end": row["end"],
         }
+        if not self._default_subclips:
+            item = self._apply_subclips(item)
         if self.load_seg_labels:
+            vfs = np.asarray(item["video_frame_sec"], np.float64)
             labels = self._label_index.labels_at(
-                row["video_path"], np.asarray(frame_sec, np.float64),
-                self.label_type)
+                row["video_path"], vfs.reshape(-1), self.label_type)
+            # default {1,1}: (T, 1) column vector; general: label per element
+            # of the (S', nf') second-window matrix (reference
+            # _get_vidseg_labels shapes labels like video_frame_sec)
             item["target_subclips"] = {
-                t: v[:, None] for t, v in labels.items()}  # (T, 1)
+                t: v.reshape(vfs.shape if not self._default_subclips
+                             else (-1, 1))
+                for t, v in labels.items()}
         return item
 
     def __getitem__(self, idx):

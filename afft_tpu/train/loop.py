@@ -284,6 +284,16 @@ def main(cfg: Config, interactive: bool = True):
             runner, mesh, params, opt_state, epoch_val_loader,
             metric_tracker, is_training=False)
 
+        observe = getattr(lr_schedule, "observe", None)
+        if observe is not None:
+            # metric-driven schedules (ReduceLROnPlateau): epoch-end update
+            # with the synced primary val metric — deterministic across
+            # processes because MetricTracker already all-reduced it
+            plateau_metric = metric_tracker.get_data(cfg.primary_metric,
+                                                     is_training=False)
+            if plateau_metric is not None:
+                observe(float(plateau_metric))
+
         if is_master:
             log.info(metric_tracker.to_string(is_training=True))
             log.info(metric_tracker.to_string(is_training=False))

@@ -232,6 +232,76 @@ def multistep_schedule(milestone_epochs, gamma=0.1, warmup_factor=1.0 / 3,
     return lr_at
 
 
+class PlateauSchedule:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics (the reference
+    exposes it as a passthrough wrapper, common/scheduler.py:78-85, but its
+    per-iteration ``scheduler.step()`` call in train.py:265 cannot feed it a
+    metric — the reference path is dead code). Here the schedule is a
+    callable like every other (iteration, base_lr) -> lr, plus an
+    ``observe(metric)`` hook the train loop calls once per epoch with the
+    primary validation metric.
+    """
+
+    def __init__(self, mode="min", factor=0.1, patience=10, threshold=1e-4,
+                 threshold_mode="rel", cooldown=0, min_lr=0.0, eps=1e-8,
+                 **_ignored):
+        assert mode in ("min", "max") and threshold_mode in ("rel", "abs")
+        assert factor < 1.0, "factor should be < 1.0"
+        self.mode, self.factor, self.patience = mode, factor, patience
+        self.threshold, self.threshold_mode = threshold, threshold_mode
+        self.cooldown, self.min_lr, self.eps = cooldown, min_lr, eps
+        self.scale = 1.0
+        self.best = math.inf if mode == "min" else -math.inf
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, a):
+        t = self.threshold
+        if self.mode == "min":
+            return a < self.best * (1.0 - t) if self.threshold_mode == "rel" \
+                else a < self.best - t
+        return a > self.best * (1.0 + t) if self.threshold_mode == "rel" \
+            else a > self.best + t
+
+    def observe(self, metric: float):
+        """Epoch-end metric update — torch ReduceLROnPlateau.step(metric)."""
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            self.scale *= self.factor
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+
+    def __call__(self, k: int, base_lr: float) -> float:
+        # torch additionally skips reductions smaller than eps (1e-8 by
+        # default) — only reachable after ~8 consecutive reductions at
+        # factor 0.1; not modeled for the single multiplicative scale here
+        return max(base_lr * self.scale, self.min_lr)
+
+    def state_dict(self):
+        return {k: getattr(self, k) for k in
+                ("scale", "best", "num_bad_epochs", "cooldown_counter")}
+
+    def load_state_dict(self, d):
+        for k, v in d.items():
+            setattr(self, k, v)
+
+
+def plateau_schedule(mode="min", factor=0.1, patience=10, threshold=1e-4,
+                     threshold_mode="rel", cooldown=0, min_lr=0.0, eps=1e-8,
+                     iters_per_epoch=None, world_size=None, **_ignored):
+    """ReduceLROnPlateau factory (reference common/scheduler.py:78-85)."""
+    return PlateauSchedule(mode=mode, factor=factor, patience=patience,
+                           threshold=threshold, threshold_mode=threshold_mode,
+                           cooldown=cooldown, min_lr=min_lr, eps=eps)
+
+
 def warmup_wrap(base_schedule, init_lr_ratio=0.0, num_epochs=5,
                 iters_per_epoch=None, world_size=None, **_ignored):
     """Per-iteration linear warmup, then delegate
@@ -250,4 +320,8 @@ def warmup_wrap(base_schedule, init_lr_ratio=0.0, num_epochs=5,
                                  ((warmup_iters - 1) / warmup_iters))
         return base_schedule(t - warmup_iters + 1, base_lr)
 
+    # metric-driven base schedules (ReduceLROnPlateau) surface their
+    # epoch-end hook through the wrapper
+    if hasattr(base_schedule, "observe"):
+        lr_at.observe = base_schedule.observe
     return lr_at

@@ -290,3 +290,75 @@ def test_ek100_pkl_parsing_matches_reference():
     np.testing.assert_array_equal(
         np.asarray([str(p) for p in ds.df.video_path.tolist()], dtype="U"),
         d["df::video_path"])
+
+
+class TestGeneralSubclips:
+    """General frame/sec subclip options (reference _get_subclips,
+    base_video_dataset.py:401-415): sliding windows sampled from the back,
+    features flattened window-major (the reference flattens the window stack
+    into the temporal axis at base_model.py:44-45)."""
+
+    @staticmethod
+    def _ref_windows(x, num_frames, stride):
+        # verbatim reference index arithmetic
+        total = x.shape[0]
+        idxs = list(range(total - num_frames, 0 - num_frames, -stride))[::-1]
+        return np.stack([x[i:i + num_frames] for i in idxs])
+
+    @pytest.fixture(scope="class")
+    def subclip_dataset(self):
+        if not os.path.exists(ANNOT):
+            pytest.skip("synthetic dataset missing; run tools/synthetic.py")
+        return EPICKitchens(
+            annotation_path=[os.path.join(ANNOT, "validation1.csv")],
+            annotation_dir=ANNOT,
+            rulstm_annotation_dir=ANNOT,
+            action_labels_fpath=os.path.join(ANNOT, "actions.csv"),
+            version=-1,
+            label_type="action",
+            sample_strategy="last_clip",
+            conv_to_anticipate_fn={
+                "_target_":
+                    "datasets.base_video_dataset.convert_to_anticipation",
+                "tau_a": 0.5, "tau_o": 10, "drop_style": "correct"},
+            reader_fn={m: {
+                "_target_": "datasets.reader_fns.EpicRULSTMFeatsReader",
+                "lmdb_path": os.path.join(SYNTH, "features_packed", m)}
+                for m in MODS},
+            frames_per_clip=10,
+            frame_rate=1,
+            load_seg_labels=True,
+            # valid tilings: windows from the back must not start negative
+            # (T=10: frame starts [0, 6], sec starts [0, 2, 4, 6, 8])
+            frame_subclips_options={"num_frames": 4, "stride": 6},
+            sec_subclips_options={"num_frames": 2, "stride": 2},
+        )
+
+    def test_windows_match_reference_arithmetic(self, synth_dataset,
+                                                subclip_dataset):
+        for i in range(min(len(synth_dataset), 4)):
+            base = synth_dataset.get_item(i)   # default {1,1} item
+            sub = subclip_dataset.get_item(i)
+            for m in MODS:
+                want = self._ref_windows(base["data_dict"][m], 4, 6)
+                want = want.reshape(-1, want.shape[-1])  # window-major flat
+                np.testing.assert_allclose(sub["data_dict"][m], want,
+                                           rtol=1e-6, atol=1e-6)
+            want_sec = self._ref_windows(base["video_frame_sec"], 2, 2)
+            assert sub["video_frame_sec"].shape == (5, 2)
+            np.testing.assert_allclose(sub["video_frame_sec"], want_sec,
+                                       rtol=1e-6)
+            want_lbl = self._ref_windows(
+                base["target_subclips"]["action"][:, 0], 2, 2)
+            assert sub["target_subclips"]["action"].shape == (5, 2)
+            np.testing.assert_array_equal(sub["target_subclips"]["action"],
+                                          want_lbl)
+
+    def test_untileable_options_raise(self, subclip_dataset):
+        with pytest.raises(ValueError):
+            # T=9, nf=4, stride=3 -> reference would stack ragged slices
+            subclip_dataset._subclip_index(9, 4, 3)
+        with pytest.raises(ValueError):
+            # overlapping windows hitting a negative start (reference
+            # range(6,-4,-3) includes -3 and crashes in torch.stack)
+            subclip_dataset._subclip_index(10, 4, 3)

@@ -205,3 +205,51 @@ def test_build_group_tree_prefix_rules():
         params, [[["future_predictor.fuser"], 0.5, 0.1]], 0.1, 0.01)
     assert groups["future_predictor"]["fuser"]["w"].lr == 0.5
     assert groups["future_predictor"]["mapping"]["w"].lr == 0.1
+
+
+def test_plateau_matches_torch():
+    """ReduceLROnPlateau trajectory vs torch on a noisy metric sequence
+    (reference common/scheduler.py:78-85 passthrough)."""
+    import torch
+
+    from afft_tpu.train.optim import plateau_schedule
+
+    base_lr = 0.5
+    p = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.SGD([p], lr=base_lr)
+    kw = dict(mode="min", factor=0.5, patience=2, threshold=1e-4,
+              threshold_mode="rel", cooldown=1, min_lr=1e-3)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(topt, **kw)
+    mine = plateau_schedule(**kw)
+
+    rng = np.random.default_rng(0)
+    metric = 10.0
+    for epoch in range(40):
+        # improves sometimes, stalls in stretches
+        if epoch % 7 in (0, 1):
+            metric *= 0.9
+        metric_obs = metric * (1 + 1e-6 * rng.standard_normal())
+        tsched.step(metric_obs)
+        mine.observe(metric_obs)
+        np.testing.assert_allclose(
+            mine(epoch, base_lr), topt.param_groups[0]["lr"],
+            rtol=1e-9, err_msg=f"epoch {epoch}")
+
+    # state roundtrip (resume path)
+    state = mine.state_dict()
+    fresh = plateau_schedule(**kw)
+    fresh.load_state_dict(state)
+    assert fresh(0, base_lr) == mine(0, base_lr)
+
+
+def test_warmup_forwards_plateau_observe():
+    from afft_tpu.train.optim import plateau_schedule, warmup_wrap
+    base = plateau_schedule(mode="min", factor=0.1, patience=0)
+    wrapped = warmup_wrap(base, init_lr_ratio=0.1, num_epochs=1,
+                          iters_per_epoch=10)
+    assert wrapped.observe.__self__ is base
+    wrapped.observe(1.0)
+    wrapped.observe(2.0)  # worse, patience 0 -> reduce
+    assert base.scale == 0.1
+    # post-warmup lr reflects the reduction
+    np.testing.assert_allclose(wrapped(50, 1.0), 0.1)
