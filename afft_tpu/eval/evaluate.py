@@ -47,7 +47,8 @@ def store_append_h5(endpoints, output_dir, save_file_name):
 
 
 def _forward_all(model, params, loader, mesh, num_heads_key="logits/action"):
-    """Run the eval forward over a loader; yields (valid logits, uids)."""
+    """Run the eval forward over a loader; yields
+    (valid logits, uids, dataset row idx, head key)."""
     cmfp = model.future_predictor
     heads = cmfp.classifier_keys.get("action", ["all-fused"])
     modk = "all-fused" if "all-fused" in heads else heads[0]
@@ -66,13 +67,42 @@ def _forward_all(model, params, loader, mesh, num_heads_key="logits/action"):
             data = shard_batch(mesh, data)  # host batches need staging
         logits = fwd(params, data)
         valid = batch["valid"]
-        yield np.asarray(logits)[valid], batch["uid"][valid], modk
+        yield (np.asarray(logits)[valid], batch["uid"][valid],
+               np.asarray(batch["idx"])[valid], modk)
+
+
+def _merge_shards(logits, idx):
+    """Restore dataset row order and drop the DistributedSampler-style
+    wrap-around duplicates after a cross-process gather."""
+    order = np.argsort(idx, kind="stable")
+    logits, idx = logits[order], idx[order]
+    keep = np.ones(len(idx), bool)
+    keep[1:] = np.diff(idx) > 0
+    return logits[keep], idx[keep]
+
+
+def collect_logits(model, params, loader, mesh):
+    """Forward the (possibly per-process-sharded) loader, allgather the
+    shards, and return logits in dataset order. Replaces the reference's
+    every-process-evaluates-everything DataParallel eval (test.py:130)."""
+    chunks, idxs, modk = [], [], None
+    for logits, _, idx, modk in _forward_all(model, params, loader, mesh):
+        chunks.append(logits)
+        idxs.append(idx)
+    logits = np.concatenate(chunks, axis=0)
+    idx = np.concatenate(idxs, axis=0)
+    if jax.process_count() > 1:
+        from ..parallel.mesh import gather_from_all
+        logits = gather_from_all(logits)
+        idx = gather_from_all(idx)
+    logits, idx = _merge_shards(logits, idx)
+    return logits, idx, modk
 
 
 def save_logits(model, params, loader, mesh, save_dir, save_file_name):
     """Append action logits batch-by-batch to gzip h5 (reference :33-61)."""
     modk = None
-    for logits, _, modk in _forward_all(model, params, loader, mesh):
+    for logits, _, _, modk in _forward_all(model, params, loader, mesh):
         store_append_h5({f"logits/action_{modk}": logits}, save_dir,
                         save_file_name)
     log.info("Saved logits logits/action_%s as %s to %s", modk,
@@ -82,9 +112,7 @@ def save_logits(model, params, loader, mesh, save_dir, save_file_name):
 def evaluate(model, params, dataset, loader, mesh):
     """Marginalized verb/noun/action accuracies incl. unseen/tail
     (reference :64-98)."""
-    chunks = [logits for logits, _, _ in
-              _forward_all(model, params, loader, mesh)]
-    logits_array = np.concatenate(chunks, axis=0)
+    logits_array, _, _ = collect_logits(model, params, loader, mesh)
     assert len(logits_array) == len(dataset), \
         f"{len(logits_array)} logits vs {len(dataset)} clips"
     accs, _ = marginalize_verb_noun(logits_array, dataset, to_prob=True,
@@ -100,20 +128,22 @@ def main(cfg: Config):
                                transform_val, log)
     eval_batch = (cfg.eval.batch_size or cfg.train.batch_size * 4) * \
         jax.local_device_count()
-    # evaluation runs unsharded: every process sees the full set in dataset
-    # order so logits line up with dataset.df rows and the h5 export has one
-    # writer (matching reference test.py's single-process DataParallel eval);
-    # only the master prints/saves
-    if dist_info["world_size"] > 1:
-        log.info("multi-process eval: each process evaluates the full set")
+    # multi-process eval shards the val set per process (strided, wrap-padded
+    # like DistributedSampler); collect_logits allgathers the shards back
+    # into dataset order. Only the master prints/saves.
+    shard_id, num_shards = dist_info["rank"], dist_info["world_size"]
+    if num_shards > 1:
+        log.info("multi-process eval: shard %d/%d", shard_id, num_shards)
     if cfg.get("data_on_device") and \
             getattr(dataset_test, "supports_batch_load", lambda: False)():
         from ..data.device_cache import DeviceFeatureCache
         cache = DeviceFeatureCache(dataset_test)
-        loader = cache.iter_batches(eval_batch, shuffle=False)
+        loader = cache.iter_batches(eval_batch, shuffle=False,
+                                    shard_id=shard_id, num_shards=num_shards)
     else:
         loader = BatchLoader(dataset_test, batch_size=eval_batch,
-                             shuffle=False, num_workers=cfg.workers)
+                             shuffle=False, num_workers=cfg.workers,
+                             shard_id=shard_id, num_shards=num_shards)
 
     num_classes = {k: len(v) for k, v in dataset_test.classes.items()}
     model = BaseModel(cfg.model, num_classes=num_classes,
@@ -129,14 +159,22 @@ def main(cfg: Config):
                   for p in ckpt_paths]
     params, _ = init_from_model(model, params, ckpt_paths, None, log)
 
-    mesh = make_mesh()
+    mesh = make_mesh(jax.local_devices())
     params = replicate_tree(mesh, params)
 
-    if dist_info["rank"] != 0:
-        return None  # master does the single-writer export/printout
     if cfg.get("save_name"):
         save_dir = os.path.join(cfg.cwd, LOGITS_DIR,
                                 str(cfg.init_from_model).split("/")[0])
-        save_logits(model, params, loader, mesh, save_dir, cfg.save_name)
-    else:
-        return evaluate(model, params, dataset_test, loader, mesh)
+        if num_shards == 1:
+            # reference-style streaming append (test.py:33-61)
+            save_logits(model, params, loader, mesh, save_dir, cfg.save_name)
+            return None
+        logits, _, modk = collect_logits(model, params, loader, mesh)
+        if dist_info["rank"] == 0:  # single writer
+            store_append_h5({f"logits/action_{modk}": logits}, save_dir,
+                            cfg.save_name)
+            log.info("Saved logits logits/action_%s as %s to %s", modk,
+                     cfg.save_name, save_dir)
+        return None
+    accs = evaluate(model, params, dataset_test, loader, mesh)
+    return accs if dist_info["rank"] == 0 else None

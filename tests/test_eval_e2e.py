@@ -60,7 +60,7 @@ def test_evaluate_agrees_with_manual_metrics(setup):
                                 num_workers=2), mesh)
 
     # recompute independently from collected logits
-    chunks = [c for c, _, _ in _forward_all(model, params, loader, mesh)]
+    chunks = [c for c, _, _, _ in _forward_all(model, params, loader, mesh)]
     logits = np.concatenate(chunks, axis=0)
     labels = ds.df.action_class.values
     atop1, atop5 = topk_accuracy(logits, labels, ks=(1, 5))
@@ -82,6 +82,6 @@ def test_evaluate_order_matches_dataset_rows(setup):
     ds, model, params, mesh = setup
     loader = BatchLoader(ds, batch_size=7, shuffle=False, num_workers=2)
     uids = np.concatenate(
-        [u for _, u, _ in _forward_all(model, params, loader, mesh)])
+        [u for _, u, _, _ in _forward_all(model, params, loader, mesh)])
     np.testing.assert_array_equal(uids.astype(np.int64),
                                   ds.df.uid.values.astype(np.int64))

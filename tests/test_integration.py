@@ -290,3 +290,21 @@ def test_device_metric_meter_matches_host():
     np.testing.assert_allclose(np.asarray(dev.tps), host.tps)
     np.testing.assert_allclose(np.asarray(dev.nums), host.nums)
     assert abs(dev.value - host.value) < 1e-5
+
+
+def test_multiprocess_sharded_eval():
+    """Two jax processes evaluate disjoint halves of the val set; the
+    allgathered + reordered logits equal a full single-pass forward
+    (tools/multiproc_eval_check.py)."""
+    import subprocess
+    import sys
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "multiproc_eval_check.py")],
+        capture_output=True, text=True, timeout=280, env=env, cwd=repo)
+    assert "multiproc eval ok" in res.stdout, \
+        f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
