@@ -17,6 +17,16 @@ jax.config.update("jax_platforms", "cpu")
 # fp32 parity tests need real fp32 matmuls, not bf16 passes
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Suite wall time is dominated by XLA CPU compiles of the per-variant train
+# steps (this image has ONE cpu core). The persistent compilation cache
+# makes every run after the first fast (~10 min cold -> ~2 min warm); the
+# cache dir is gitignored and safe to delete any time.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

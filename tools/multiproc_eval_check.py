@@ -25,6 +25,12 @@ def worker(rank: int):
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # share the repo-local persistent compilation cache (see tests/conftest)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
                                num_processes=2, process_id=rank)
     import numpy as np
