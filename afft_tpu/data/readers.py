@@ -403,24 +403,49 @@ class EpicRULSTMFeatsReader:
 
 
 class DefaultReader:
-    """Raw-video reader (pyav) — unused by every shipped config
-    (reference datasets/reader_fns.py:23-37); gated on torchvision."""
+    """Raw-video reader (reference datasets/reader_fns.py:23-37; upstream
+    uses torchvision/pyav — this image decodes through OpenCV, which carries
+    its own ffmpeg). Returns frames for the [start_sec, end_sec] window as
+    (T, H, W, 3) RGB uint8, frame t included when start <= pts <= end like
+    torchvision.io.read_video with pts_unit='sec'. Unused by every shipped
+    config (all consume pre-extracted features) but a working component of
+    the public surface."""
+
+    def read_window(self, video_path, start_sec: float, end_sec: float,
+                    fps: Optional[float] = None) -> np.ndarray:
+        import cv2
+        cap = cv2.VideoCapture(str(video_path))
+        if not cap.isOpened():
+            raise FileNotFoundError(f"cannot open video {video_path}")
+        vfps = cap.get(cv2.CAP_PROP_FPS) or (fps or 30.0)
+        first = int(np.ceil(start_sec * vfps - 1e-6))
+        cap.set(cv2.CAP_PROP_POS_FRAMES, max(first, 0))
+        frames = []
+        t = max(first, 0)
+        while True:
+            ok, frame = cap.read()
+            if not ok or t / vfps > end_sec + 1e-6:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            t += 1
+        cap.release()
+        if not frames:
+            raise ValueError(
+                f"no frames in [{start_sec}, {end_sec}]s of {video_path}")
+        return np.stack(frames)
 
     def __call__(self, video_path, start, end, fps=None, df_row=None,
-                 pts_unit="sec"):
-        try:
-            import torchvision
-        except ImportError as e:
-            raise RuntimeError(
-                "DefaultReader needs torchvision, which is not available; "
-                "all shipped configs use pre-extracted features") from e
-        torchvision.set_video_backend("pyav")
-        video, audio, info = torchvision.io.read_video(
-            video_path, start, end, pts_unit=pts_unit)
-        return video, audio, info, {}
+                 **kwargs):
+        video = self.read_window(video_path, start, end, fps)
+        # (video, audio, info, timings) like the reference's pyav tuple;
+        # audio decoding is out of scope for the feature-based pipeline
+        return video, np.zeros((0,), np.float32), \
+            {"video_fps": self.get_frame_rate(video_path)}, {}
 
     @staticmethod
     def get_frame_rate(video_path) -> float:
         import cv2
         cap = cv2.VideoCapture(str(video_path))
-        return cap.get(cv2.CAP_PROP_FPS)
+        rate = cap.get(cv2.CAP_PROP_FPS)
+        cap.release()
+        return rate

@@ -362,3 +362,58 @@ class TestGeneralSubclips:
             # overlapping windows hitting a negative start (reference
             # range(6,-4,-3) includes -3 and crashes in torch.stack)
             subclip_dataset._subclip_index(10, 4, 3)
+
+
+class TestDefaultReader:
+    """Raw-video DefaultReader decodes real windows through OpenCV
+    (reference datasets/reader_fns.py:23-37)."""
+
+    @pytest.fixture(scope="class")
+    def video(self, tmp_path_factory):
+        cv2 = pytest.importorskip("cv2")
+        path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                            (64, 48))
+        if not w.isOpened():
+            pytest.skip("cv2 build lacks mp4 encoder")
+        for i in range(40):  # 4 s at 10 fps, frame i has intensity 6*i
+            w.write(np.full((48, 64, 3), min(6 * i, 255), np.uint8))
+        w.release()
+        return path
+
+    def test_window_selection(self, video):
+        from afft_tpu.data.readers import DefaultReader
+        r = DefaultReader()
+        assert r.get_frame_rate(video) == 10.0
+        frames = r.read_window(video, 1.0, 2.0)  # pts 1.0..2.0 inclusive
+        assert frames.shape == (11, 48, 64, 3) and frames.dtype == np.uint8
+        # lossy codec: intensities within a few levels of the encoded value
+        got = frames[:, 0, 0, 0].astype(int)
+        want = 6 * np.arange(10, 21)
+        assert np.abs(got - want).max() <= 12, (got, want)
+
+    def test_call_tuple_matches_reference_shape(self, video):
+        from afft_tpu.data.readers import DefaultReader
+        video_arr, audio, info, timings = DefaultReader()(video, 0.0, 0.5)
+        assert video_arr.ndim == 4 and len(audio) == 0
+        assert info["video_fps"] == 10.0 and timings == {}
+
+    def test_through_dataset_sampling(self, video, tmp_path):
+        """FeatureClipDataset samples raw-video windows end-to-end (clip
+        strategies + fps subsample + pad run on the frame axis)."""
+        import pandas as pd
+        from afft_tpu.data.dataset import FeatureClipDataset
+        from afft_tpu.data.readers import DefaultReader
+        df = pd.DataFrame({
+            "video_path": [video] * 2,
+            "start": [1.0, 0.0], "end": [3.0, 2.0],
+            "action_class": [3, 5],
+        })
+        ds = FeatureClipDataset(
+            df, frames_per_clip=5, frame_rate=2.0,
+            reader_fn={"rgb": DefaultReader()},
+            sample_strategy="last_clip", label_type="action")
+        item = ds.get_item(0)
+        assert item["data_dict"]["rgb"].shape == (5, 48, 64, 3)
+        assert item["target"]["action"] == 3
+        assert len(item["video_frame_sec"]) == 5
