@@ -222,7 +222,8 @@ def main(cfg: Config, interactive: bool = True):
     runner = Runner(model, optimizer, groups,
                     loss_wts=dict(cfg.train.loss_wts.items()),
                     mixup=mixup_fn, mixup_backbone=cfg.train.mixup_backbone,
-                    grad_clip=cfg.opt.grad_clip, compute_dtype=compute_dtype)
+                    grad_clip=cfg.opt.grad_clip, compute_dtype=compute_dtype,
+                    watch_gradients=bool(cfg.train.get("watch_gradients")))
     metric_tracker = MetricTracker(num_classes)
 
     mesh = make_mesh()

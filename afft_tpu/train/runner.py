@@ -22,6 +22,12 @@ from . import losses as LO
 from .optim import Optimizer, apply_updates
 
 
+def _global_norm(tree):
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))
+
+
 def clip_by_global_norm(grads, max_norm):
     """torch.nn.utils.clip_grad_norm_ semantics."""
     leaves = jax.tree.leaves(grads)
@@ -43,7 +49,8 @@ class Runner:
     def __init__(self, model, optimizer: Optimizer, groups, loss_wts: Dict,
                  mixup=None, mixup_backbone: bool = True,
                  grad_clip: Optional[float] = None,
-                 compute_dtype=jnp.float32, donate: bool = True):
+                 compute_dtype=jnp.float32, donate: bool = True,
+                 watch_gradients: bool = False):
         self.model = model
         self.optimizer = optimizer
         self.groups = groups
@@ -52,6 +59,7 @@ class Runner:
         self.mixup_backbone = mixup_backbone
         self.grad_clip = grad_clip
         self.compute_dtype = compute_dtype
+        self.watch_gradients = watch_gradients
         donate_argnums = (0, 1, 5) if donate else ()
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=donate_argnums)
@@ -186,6 +194,18 @@ class Runner:
 
         (total, (losses, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if self.watch_gradients:
+            # reference wandb.watch(model) equivalent (train.py:416): the
+            # TPU-idiomatic form is in-step norm scalars fused into the
+            # train program (per-parameter histograms would force per-leaf
+            # host readbacks every step), reported through the same metric
+            # stream as everything else
+            metrics = dict(metrics)
+            metrics["grad_norm"] = _global_norm(grads)
+            metrics["param_norm"] = _global_norm(params)
+            if isinstance(grads, dict):
+                for key, sub in grads.items():
+                    metrics[f"grad_norm_{key}"] = _global_norm(sub)
         if self.grad_clip is not None:
             grads = clip_by_global_norm(grads, self.grad_clip)
         opt_state, updates = self.optimizer.update(

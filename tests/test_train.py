@@ -253,3 +253,43 @@ def test_warmup_forwards_plateau_observe():
     assert base.scale == 0.1
     # post-warmup lr reflects the reduction
     np.testing.assert_allclose(wrapped(50, 1.0), 0.1)
+
+
+def test_watch_gradients_metrics():
+    """watch_gradients=True surfaces grad/param norms through the metric
+    stream (wandb.watch equivalent, reference train.py:416)."""
+    import jax
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+    from afft_tpu.train import optim as O
+    from afft_tpu.train.runner import Runner
+
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:16, flow:16}", "model.common_dim=16",
+        "model.common.fp_inter_dim=32", "model.common.fp_layers=1",
+        "model.common.fp_heads=2", "model.fuser.depth=1",
+        "model.fuser.num_heads=2",
+    ])
+    model = BaseModel(cfg.model, num_classes={"action": 5})
+    params = model.init(jax.random.key(0))
+    groups = O.build_group_tree(params, None, 0.01, 0.0)
+    opt = O.sgd(momentum=0.9)
+    runner = Runner(model, opt, groups,
+                    loss_wts={"cls_action": 1.0, "past_cls_action": 1.0,
+                              "past_reg": 1.0},
+                    watch_gradients=True, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "data_dict": {m: rng.standard_normal((4, 6, 16)).astype(np.float32)
+                      for m in ("rgb", "flow")},
+        "target": {"action": rng.integers(0, 5, (4,))},
+        "valid": np.ones((4,), bool),
+    }
+    _, _, _, metrics, _ = runner.train_step(
+        params, opt.init(params, groups), batch, 0.01, 0.01,
+        jax.random.key(1))
+    gn = float(metrics["grad_norm"])
+    pn = float(metrics["param_norm"])
+    assert np.isfinite(gn) and gn > 0
+    assert np.isfinite(pn) and pn > 0
+    assert any(k.startswith("grad_norm_") for k in metrics)
