@@ -104,3 +104,22 @@ class DeviceFeatureCache:
             else:
                 batch = self.batch(chunk)
             yield batch
+
+    def iter_index_batches(self, batch_size: int, shuffle=False, seed=0,
+                           epoch=0, shard_id=0, num_shards=1):
+        """Yield (int32 index array, n_valid) pairs for single-dispatch
+        serving: jit a forward that takes (params, cache.features, idx) and
+        does the ``jnp.take`` inside — the gathers fuse into the program and
+        each batch costs ONE dispatch instead of one per modality (each
+        dispatch is ~0.5 ms on the tunneled link; see bench.py)."""
+        from .loader import shard_indices
+        indices = shard_indices(len(self.dataset), shuffle, seed, epoch,
+                                shard_id, num_shards)
+        n_batches = int(np.ceil(len(indices) / batch_size))
+        for b in range(n_batches):
+            chunk = indices[b * batch_size:(b + 1) * batch_size]
+            n_valid = len(chunk)
+            if n_valid < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch_size - n_valid)])
+            yield np.asarray(chunk, np.int32), n_valid

@@ -117,38 +117,44 @@ def bench_end_to_end(n_epochs=3):
     params = model.init(jax.random.key(0))
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    @jax.jit
-    def fwd(p, feats):
-        outputs, _ = model.apply(p, feats, train=False)
-        return outputs["logits/action"]["all-fused"][:, 0, :]
-
     # serving architecture: features live in HBM (DeviceFeatureCache);
-    # per-batch host traffic is an int32 index array. The one-time upload is
-    # amortized over the epochs an evaluation/training run makes.
+    # per-batch host traffic is an int32 index array, and the gather is
+    # INSIDE the jitted forward so a batch is ONE dispatch (separate
+    # per-modality jnp.take calls cost ~0.5 ms of dispatch latency each on
+    # the tunneled link). The one-time upload is amortized over the epochs
+    # an evaluation/training run makes.
     from afft_tpu.data.device_cache import DeviceFeatureCache
     cache = DeviceFeatureCache(ds)
 
-    def run_epoch():
+    @jax.jit
+    def fwd(p, table, idx):
+        feats = {m: jnp.take(f, idx, axis=0) for m, f in table.items()}
+        outputs, _ = model.apply(p, feats, train=False)
+        return outputs["logits/action"]["all-fused"][:, 0, :]
+
+    def run_window(n_passes):
+        """n_passes epochs with ONE sync at the end: the forced readback
+        costs a full tunnel round-trip (~60 ms, spiking >10x), so it must be
+        amortized over many batches. block_until_ready returns WITHOUT
+        waiting on this platform; a tiny fp32 readback of the last output is
+        the only reliable barrier — device execution is in-order, so
+        draining the final program drains the whole window. (bf16 readback
+        aborts the backend: cast first.)"""
         n = 0
         out = None
-        for b in cache.iter_batches(BATCH, shuffle=False):
-            out = fwd(params, b["data_dict"])
-            n += int(b["valid"].sum())
-        # block_until_ready returns WITHOUT waiting on this platform; a tiny
-        # fp32 readback of the last output is the only reliable barrier.
-        # Device execution is in-order, so draining the final program drains
-        # the whole epoch. (bf16 readback aborts the backend: cast first.)
+        for _ in range(n_passes):
+            for idx, n_valid in cache.iter_index_batches(BATCH):
+                out = fwd(params, cache.features, idx)
+                n += n_valid
         np.asarray(out[:1, :8].astype(jnp.float32))
         return n
 
-    run_epoch()  # compile warmup
+    run_window(1)  # compile warmup
     best = 0.0
-    # several timed windows of several epochs each: readback latency spikes
-    # >10x on this setup, so amortize (many batches per sync) and take the
-    # best window (spikes only ever slow a window down)
+    # several timed windows, best-of (readback spikes only slow a window)
     for _ in range(max(n_epochs, 3)):
         t0 = time.perf_counter()
-        n = sum(run_epoch() for _ in range(2))
+        n = run_window(4)
         best = max(best, n / (time.perf_counter() - t0))
     return best
 
