@@ -139,13 +139,21 @@ def bench_end_to_end(n_epochs=3):
         waiting on this platform; a tiny fp32 readback of the last output is
         the only reliable barrier — device execution is in-order, so
         draining the final program drains the whole window. (bf16 readback
-        aborts the backend: cast first.)"""
-        n = 0
+        aborts the backend: cast first.)
+
+        Batches stream ACROSS epoch boundaries like a serving deployment
+        (each clip still evaluated exactly n_passes times): per-epoch
+        final-batch padding would otherwise burn ~12% of the window
+        (ceil(1800/256) padded batches per pass)."""
+        stream = np.tile(np.arange(len(ds), dtype=np.int32), n_passes)
+        n = len(stream)
         out = None
-        for _ in range(n_passes):
-            for idx, n_valid in cache.iter_index_batches(BATCH):
-                out = fwd(params, cache.features, idx)
-                n += n_valid
+        for lo in range(0, n, BATCH):
+            idx = stream[lo:lo + BATCH]
+            if len(idx) < BATCH:  # single padded batch per window
+                idx = np.concatenate(
+                    [idx, np.repeat(idx[-1:], BATCH - len(idx))])
+            out = fwd(params, cache.features, idx)
         np.asarray(out[:1, :8].astype(jnp.float32))
         return n
 
