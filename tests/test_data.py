@@ -417,3 +417,37 @@ class TestDefaultReader:
         assert item["data_dict"]["rgb"].shape == (5, 48, 64, 3)
         assert item["target"]["action"] == 3
         assert len(item["video_frame_sec"]) == 5
+
+
+def test_packed_store_int8_quantization(tmp_path):
+    """int8 packed store: symmetric per-frame quantization, dequantized
+    gathers within the max|row|/254 worst-case bound, missing frames still
+    zero-filled, batch path matches single path."""
+    from afft_tpu.data.readers import PackedFeatureStore
+    rng = np.random.default_rng(0)
+    table = {"vidX": {i: (rng.standard_normal(32) * (1 + i)).astype(np.float32)
+                      for i in range(1, 40, 2)}}  # odd ids: backward search
+    store = PackedFeatureStore.write(tmp_path / "q8", table, dtype="int8")
+    assert store.dtype == np.int8 and store.scales is not None
+
+    ids = np.array([1, 2, 17, 39])          # 2 resolves backward to 1
+    out = store.get_frames("vidX", ids)
+    assert out.dtype == np.float32
+    for i, fid in enumerate([1, 1, 17, 39]):
+        ref = table["vidX"][fid]
+        bound = np.abs(ref).max() / 254 + 1e-7
+        assert np.abs(out[i] - ref).max() <= bound, fid
+
+    # write_blocks produces the identical store
+    store2 = PackedFeatureStore.write_blocks(
+        tmp_path / "q8b",
+        [("vidX", np.array(sorted(table["vidX"])),
+          np.stack([table["vidX"][i] for i in sorted(table["vidX"])]))],
+        dtype="int8")
+    np.testing.assert_array_equal(
+        store2.get_frames("vidX", ids), out)
+
+    # batched gather agrees with per-clip gathers
+    batch = store.get_frames_batch(np.array(["vidX", "vidX"]),
+                                   np.stack([ids, ids + 2]))
+    np.testing.assert_array_equal(batch[0], out)

@@ -308,3 +308,30 @@ def test_multiprocess_sharded_eval():
         capture_output=True, text=True, timeout=280, env=env, cwd=repo)
     assert "multiproc eval ok" in res.stdout, \
         f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
+
+
+def test_int8_feature_quantization_logit_tolerance():
+    """Serving features from an int8 store (symmetric per-frame
+    quantization) must leave logits within tolerance of fp32 features —
+    the tolerance study behind tools/pack_features.py --dtype int8."""
+    from afft_tpu.data.readers import PackedFeatureStore
+    cfg = tiny_cfg()
+    model, params, _, _ = build_runner(cfg)
+    rng = np.random.default_rng(0)
+    dims = cfg.model.modal_dims.to_container()
+    B, T = 16, 6
+    feats32, feats8 = {}, {}
+    for m, d in dims.items():
+        x = rng.standard_normal((B, T, d)).astype(np.float32)
+        q, scales = PackedFeatureStore._quantize_rows(x.reshape(-1, d))
+        deq = (q.astype(np.float32) * scales[:, None]).reshape(B, T, d)
+        feats32[m] = x
+        feats8[m] = deq
+    out32, _ = model.apply(params, feats32, train=False)
+    out8, _ = model.apply(params, feats8, train=False)
+    l32 = np.asarray(out32["logits/action"]["all-fused"][:, 0, :])
+    l8 = np.asarray(out8["logits/action"]["all-fused"][:, 0, :])
+    rel = np.abs(l32 - l8).max() / (np.abs(l32).max() + 1e-9)
+    assert rel < 0.05, f"int8 features shifted logits by rel {rel}"
+    # ranking preserved: top-1 agreement on every row
+    np.testing.assert_array_equal(l32.argmax(-1), l8.argmax(-1))

@@ -74,9 +74,10 @@ def main():
     ap.add_argument("--root", action="store_true",
                     help="treat SRC as a root of modality subdirs")
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "bfloat16"],
+                    choices=["float32", "bfloat16", "int8"],
                     help="storage dtype; bfloat16 halves store size and "
-                         "host->device transfer bytes")
+                         "host->device transfer bytes; int8 (symmetric "
+                         "per-frame quantization) quarters them")
     args = ap.parse_args()
     if args.root:
         for sub in sorted(Path(args.src).iterdir()):
