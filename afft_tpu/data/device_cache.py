@@ -74,12 +74,14 @@ class DeviceFeatureCache:
     def batch(self, indices: np.ndarray) -> Dict:
         """Batch dict with on-device feature gathers (tiny index upload)."""
         import jax.numpy as jnp
-        idx_dev = jnp.asarray(np.asarray(indices, np.int32))
+        indices = np.asarray(indices)
+        idx_dev = jnp.asarray(indices.astype(np.int32))
         batch = {
             "data_dict": {m: jnp.take(f, idx_dev, axis=0)
                           for m, f in self.features.items()},
             "target": {t: v[indices] for t, v in self.targets.items()},
             "uid": self.uid[indices],
+            "idx": indices.astype(np.int64),
             "valid": np.ones(len(indices), bool),
         }
         if self.labels is not None:
@@ -106,15 +108,23 @@ class DeviceFeatureCache:
             yield batch
 
     def iter_index_batches(self, batch_size: int, shuffle=False, seed=0,
-                           epoch=0, shard_id=0, num_shards=1):
+                           epoch=0, shard_id=0, num_shards=1,
+                           n_passes: int = 1):
         """Yield (int32 index array, n_valid) pairs for single-dispatch
         serving: jit a forward that takes (params, cache.features, idx) and
         does the ``jnp.take`` inside — the gathers fuse into the program and
         each batch costs ONE dispatch instead of one per modality (each
-        dispatch is ~0.5 ms on the tunneled link; see bench.py)."""
+        dispatch is ~0.5 ms on the tunneled link; see bench.py).
+
+        ``n_passes > 1`` streams batches ACROSS epoch boundaries (each clip
+        served exactly n_passes times, one padded batch total) — per-epoch
+        final-batch padding otherwise burns ceil(n/B)-n/B of a batch per
+        pass."""
         from .loader import shard_indices
         indices = shard_indices(len(self.dataset), shuffle, seed, epoch,
                                 shard_id, num_shards)
+        if n_passes > 1:
+            indices = np.tile(indices, n_passes)
         n_batches = int(np.ceil(len(indices) / batch_size))
         for b in range(n_batches):
             chunk = indices[b * batch_size:(b + 1) * batch_size]

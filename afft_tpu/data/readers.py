@@ -459,8 +459,9 @@ class DefaultReader:
     config (all consume pre-extracted features) but a working component of
     the public surface."""
 
-    def read_window(self, video_path, start_sec: float, end_sec: float,
-                    fps: Optional[float] = None) -> np.ndarray:
+    def _read_window_fps(self, video_path, start_sec: float, end_sec: float,
+                         fps: Optional[float] = None):
+        """One VideoCapture open per call; returns (frames, native fps)."""
         import cv2
         cap = cv2.VideoCapture(str(video_path))
         if not cap.isOpened():
@@ -480,15 +481,18 @@ class DefaultReader:
         if not frames:
             raise ValueError(
                 f"no frames in [{start_sec}, {end_sec}]s of {video_path}")
-        return np.stack(frames)
+        return np.stack(frames), vfps
+
+    def read_window(self, video_path, start_sec: float, end_sec: float,
+                    fps: Optional[float] = None) -> np.ndarray:
+        return self._read_window_fps(video_path, start_sec, end_sec, fps)[0]
 
     def __call__(self, video_path, start, end, fps=None, df_row=None,
                  **kwargs):
-        video = self.read_window(video_path, start, end, fps)
+        video, vfps = self._read_window_fps(video_path, start, end, fps)
         # (video, audio, info, timings) like the reference's pyav tuple;
         # audio decoding is out of scope for the feature-based pipeline
-        return video, np.zeros((0,), np.float32), \
-            {"video_fps": self.get_frame_rate(video_path)}, {}
+        return video, np.zeros((0,), np.float32), {"video_fps": vfps}, {}
 
     @staticmethod
     def get_frame_rate(video_path) -> float:

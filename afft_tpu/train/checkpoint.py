@@ -29,8 +29,12 @@ def _checkpointer():
 
 
 def save_checkpoint(path, params, opt_state, epoch: int, step: int,
-                    best_metric: float):
-    """Rank-0-only save (callers gate on process_index)."""
+                    best_metric: float, schedule_state: dict = None):
+    """Rank-0-only save (callers gate on process_index).
+
+    ``schedule_state`` carries metric-driven scheduler state
+    (ReduceLROnPlateau scale/best/patience counters) — without it a resume
+    would silently revert every prior lr reduction."""
     payload = {
         "model": jax.tree.map(np.asarray, params),
         "optimizer": jax.tree.map(np.asarray, opt_state),
@@ -38,6 +42,9 @@ def save_checkpoint(path, params, opt_state, epoch: int, step: int,
         "step": step,
         "best_metric": float(best_metric),
     }
+    if schedule_state:
+        payload["schedule"] = {k: np.asarray(v)
+                               for k, v in schedule_state.items()}
     path = Path(path).absolute()
     ckptr = _checkpointer()
     ckptr.save(path, payload, force=True)

@@ -239,6 +239,12 @@ def main(cfg: Config, interactive: bool = True):
         start_epoch = int(ckpt["epoch"])
         step_counter = int(ckpt["step"])
         best_metric = float(ckpt["best_metric"])
+        if ckpt.get("schedule") and hasattr(lr_schedule, "load_state_dict"):
+            # metric-driven schedules (ReduceLROnPlateau): restore
+            # scale/best/patience so resume keeps prior lr reductions
+            lr_schedule.load_state_dict(
+                {k: v.item() if hasattr(v, "item") else v
+                 for k, v in ckpt["schedule"].items()})
         log.info("Resumed from %s at epoch %d", last_path, start_epoch)
 
     # optional HBM-resident feature cache: per-batch host traffic becomes a
@@ -298,20 +304,23 @@ def main(cfg: Config, interactive: bool = True):
         if is_master:
             log.info(metric_tracker.to_string(is_training=True))
             log.info(metric_tracker.to_string(is_training=False))
+            sched_state = getattr(lr_schedule, "state_dict", lambda: None)()
             primary = metric_tracker.get_data(cfg.primary_metric,
                                               is_training=False)
             if primary is not None and primary > best_metric:
                 best_metric = primary
                 save_checkpoint(os.path.join(ckpt_path, CKPT_BEST_DIRNAME),
                                 params, opt_state, epoch + 1, step_counter,
-                                best_metric)
+                                best_metric, schedule_state=sched_state)
             save_checkpoint(last_path, params, opt_state, epoch + 1,
-                            step_counter, best_metric)
+                            step_counter, best_metric,
+                            schedule_state=sched_state)
             every = cfg.train.get("checkpoint_every")
             if every and (epoch + 1) % int(every) == 0:
                 save_checkpoint(
                     os.path.join(ckpt_path, f"checkpoint_epoch{epoch + 1}"),
-                    params, opt_state, epoch + 1, step_counter, best_metric)
+                    params, opt_state, epoch + 1, step_counter, best_metric,
+                    schedule_state=sched_state)
             exp_logger.log({
                 **metric_tracker.get_all_data(is_training=True),
                 **metric_tracker.get_all_data(is_training=False),

@@ -321,7 +321,9 @@ def warmup_wrap(base_schedule, init_lr_ratio=0.0, num_epochs=5,
         return base_schedule(t - warmup_iters + 1, base_lr)
 
     # metric-driven base schedules (ReduceLROnPlateau) surface their
-    # epoch-end hook through the wrapper
+    # epoch-end hook and resume state through the wrapper
     if hasattr(base_schedule, "observe"):
         lr_at.observe = base_schedule.observe
+        lr_at.state_dict = base_schedule.state_dict
+        lr_at.load_state_dict = base_schedule.load_state_dict
     return lr_at

@@ -132,29 +132,22 @@ def bench_end_to_end(n_epochs=3):
         outputs, _ = model.apply(p, feats, train=False)
         return outputs["logits/action"]["all-fused"][:, 0, :]
 
+    from afft_tpu.utils.sync import force_device_sync
+
     def run_window(n_passes):
         """n_passes epochs with ONE sync at the end: the forced readback
-        costs a full tunnel round-trip (~60 ms, spiking >10x), so it must be
-        amortized over many batches. block_until_ready returns WITHOUT
-        waiting on this platform; a tiny fp32 readback of the last output is
-        the only reliable barrier — device execution is in-order, so
-        draining the final program drains the whole window. (bf16 readback
-        aborts the backend: cast first.)
-
-        Batches stream ACROSS epoch boundaries like a serving deployment
-        (each clip still evaluated exactly n_passes times): per-epoch
-        final-batch padding would otherwise burn ~12% of the window
-        (ceil(1800/256) padded batches per pass)."""
-        stream = np.tile(np.arange(len(ds), dtype=np.int32), n_passes)
-        n = len(stream)
+        costs a full tunnel round-trip (~60 ms, spiking >10x), so it must
+        be amortized over many batches. Batches stream ACROSS epoch
+        boundaries like a serving deployment (iter_index_batches n_passes;
+        each clip still evaluated exactly n_passes times) — per-epoch
+        final-batch padding would otherwise burn ~12% of the window."""
+        n = 0
         out = None
-        for lo in range(0, n, BATCH):
-            idx = stream[lo:lo + BATCH]
-            if len(idx) < BATCH:  # single padded batch per window
-                idx = np.concatenate(
-                    [idx, np.repeat(idx[-1:], BATCH - len(idx))])
+        for idx, n_valid in cache.iter_index_batches(BATCH,
+                                                     n_passes=n_passes):
             out = fwd(params, cache.features, idx)
-        np.asarray(out[:1, :8].astype(jnp.float32))
+            n += n_valid
+        force_device_sync(out)
         return n
 
     run_window(1)  # compile warmup
@@ -206,9 +199,7 @@ def bench_afft(n_warmup=3, n_iters=20):
                  for m, v in host_batches[i % len(host_batches)].items()}
         return fwd(params, feats)
 
-    def sync(out):
-        # forced readback: block_until_ready is a no-op on this platform
-        np.asarray(out[:1, :8].astype(jnp.float32))
+    from afft_tpu.utils.sync import force_device_sync as sync
 
     for i in range(n_warmup):
         sync(step(i))

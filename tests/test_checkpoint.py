@@ -169,3 +169,29 @@ def test_training_resume_continues(tmp_path, monkeypatch):
     assert int(second["epoch"]) == 2
     assert int(second["step"]) > int(first["step"])
     shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def test_checkpoint_carries_schedule_state(tmp_path):
+    """ReduceLROnPlateau scale/best/patience survive a checkpoint
+    roundtrip (resume must not revert prior lr reductions)."""
+    import jax.numpy as jnp
+    from afft_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from afft_tpu.train.optim import plateau_schedule, warmup_wrap
+
+    sched = warmup_wrap(plateau_schedule(mode="min", factor=0.5, patience=0),
+                        num_epochs=0, iters_per_epoch=1)
+    sched.observe(1.0)
+    sched.observe(2.0)  # worse -> reduce
+    assert sched.state_dict()["scale"] == 0.5
+
+    params = {"w": jnp.zeros((2,))}
+    save_checkpoint(tmp_path / "ck", params, {"m": jnp.zeros((2,))},
+                    epoch=3, step=30, best_metric=0.5,
+                    schedule_state=sched.state_dict())
+    ckpt = load_checkpoint(tmp_path / "ck")
+    fresh = warmup_wrap(plateau_schedule(mode="min", factor=0.5, patience=0),
+                        num_epochs=0, iters_per_epoch=1)
+    fresh.load_state_dict({k: v.item() if hasattr(v, "item") else v
+                           for k, v in ckpt["schedule"].items()})
+    assert fresh(1, 1.0) == 0.5  # t=1: past the (degenerate) warmup window
+    assert fresh.state_dict()["best"] == 1.0

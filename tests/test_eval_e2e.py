@@ -85,3 +85,20 @@ def test_evaluate_order_matches_dataset_rows(setup):
         [u for _, u, _, _ in _forward_all(model, params, loader, mesh)])
     np.testing.assert_array_equal(uids.astype(np.int64),
                                   ds.df.uid.values.astype(np.int64))
+
+
+def test_evaluate_from_device_cache_matches_host_loader(setup):
+    """The data_on_device eval path (DeviceFeatureCache batches through
+    _forward_all/evaluate) must produce the same metrics as the host
+    loader — regression test for the cache batches lacking the 'idx' key."""
+    ds, model, params, mesh = setup
+    from afft_tpu.data.device_cache import DeviceFeatureCache
+    cache = DeviceFeatureCache(ds)
+    accs_cache = evaluate(model, params, ds,
+                          cache.iter_batches(6, shuffle=False), mesh)
+    accs_host = evaluate(model, params, ds,
+                         BatchLoader(ds, batch_size=6, shuffle=False,
+                                     num_workers=2), mesh)
+    for key, val in accs_host.items():
+        np.testing.assert_allclose(accs_cache[key], val, rtol=2e-4,
+                                   err_msg=key)
