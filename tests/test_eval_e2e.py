@@ -102,3 +102,64 @@ def test_evaluate_from_device_cache_matches_host_loader(setup):
     for key, val in accs_host.items():
         np.testing.assert_allclose(accs_cache[key], val, rtol=2e-4,
                                    err_msg=key)
+
+
+def test_late_fusion_and_submission_packaging(setup, tmp_path):
+    """End-to-end challenge tool: export two models' logits through the
+    real save_logits path, late-fuse with weights, package the EK100
+    submission (reference challenge.py:287-414 flow)."""
+    import json
+    import zipfile
+
+    from afft_tpu.eval.challenge import (get_epic_marginalize_late_fuse,
+                                         marginalize_verb_noun,
+                                         package_results_for_submission_ek100)
+    from afft_tpu.eval.evaluate import save_logits
+    from afft_tpu.models import BaseModel
+    from afft_tpu.config import compose
+
+    ds, model, params, mesh = setup
+    cfg2 = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:24, flow:24}", "model.common_dim=24",
+        "model.common.fp_inter_dim=48", "model.common.fp_layers=2",
+        "model.common.fp_heads=2", "model.fuser.depth=2",
+        "model.fuser.num_heads=2"])
+    model_b = BaseModel(cfg2.model,
+                        num_classes={k: len(v) for k, v in ds.classes.items()},
+                        class_mappings=ds.class_mappings)
+    params_b = replicate_tree(mesh, model_b.init(jax.random.key(99)))
+
+    dirs = []
+    for name, (mdl, prm) in {"A": (model, params),
+                             "B": (model_b, params_b)}.items():
+        d = tmp_path / name
+        loader = BatchLoader(ds, batch_size=6, shuffle=False, num_workers=2)
+        save_logits(mdl, prm, loader, mesh, str(d), "test.h5")
+        dirs.append(str(d))
+
+    # single-model late fusion with weight [1, 0] == model A alone
+    accs_a = evaluate(model, params, ds,
+                      BatchLoader(ds, batch_size=6, shuffle=False,
+                                  num_workers=2), mesh)
+    accs_fused, _, _ = get_epic_marginalize_late_fuse(
+        dirs, ds, weights=[1.0, 0.0], prefix_h5="test")
+    np.testing.assert_allclose(accs_fused["amt5r"], accs_a["amt5r"],
+                               rtol=1e-5)
+
+    # weighted 2-model fusion runs and packages a valid submission
+    out_dir = tmp_path / "sub"
+    package_results_for_submission_ek100(
+        dirs, ds, weights=[1.0, 0.5], output_dir=str(out_dir),
+        prefix_h5="test")
+    with open(out_dir / "test.json") as f:
+        sub = json.load(f)
+    assert sub["challenge"] == "action_anticipation"
+    assert set(sub) >= {"version", "results", "sls_pt", "sls_tl", "sls_td"}
+    n_total = len(ds) + (len(ds.discarded_df)
+                         if ds.discarded_df is not None else 0)
+    assert len(sub["results"]) == n_total
+    one = next(iter(sub["results"].values()))
+    assert set(one) == {"verb", "noun", "action"}
+    assert all("," in k for k in one["action"])  # "verb,noun" keys
+    with zipfile.ZipFile(out_dir / "submit.zip") as zf:
+        assert zf.namelist() == ["test.json"]
