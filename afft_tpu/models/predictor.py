@@ -74,8 +74,13 @@ class BaseFuturePredictor:
         Bsz, T, C = x.shape
         h = L.layernorm_apply(p["ln_1"], x, 1e-5)
         qkv = L.linear_apply(p["c_attn"], h)
-        qkv = qkv.reshape(Bsz, T, 3, self.n_head, C // self.n_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # c_attn packs heads-major [h0:(q,k,v), h1:(q,k,v), ...] (NOT the HF
+        # [q|k|v] order — the torch importer re-interleaves): slicing the
+        # packed dim over a tensor-parallel mesh axis is then head-aligned,
+        # so GSPMD partitions the attention by head instead of all-gathering
+        # the qkv activations (see parallel/sharding.py TP_RULES)
+        qkv = qkv.reshape(Bsz, T, self.n_head, 3, C // self.n_head)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
         attn_out, attn_w = _attention_ops.multihead_attention(
             q, k, v, mask=mask, attn_drop=self.attn_pdrop, train=train,
             rng=rng, return_weights=collect_attn)
@@ -112,8 +117,8 @@ class BaseFuturePredictor:
         hd = C // self.n_head
         h = L.layernorm_apply(p["ln_1"], x, 1e-5)
         qkv = L.linear_apply(p["c_attn"], h).reshape(
-            Bsz, S, 3, self.n_head, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            Bsz, S, self.n_head, 3, hd)  # heads-major packing, see _block
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
         kv_cache = jax.lax.dynamic_update_slice(
             kv_cache, jnp.stack([k, v], axis=2)[:, None],
             (0, layer, pos, 0, 0, 0))

@@ -32,6 +32,20 @@ def _conv1d(sd: StateDict, prefix: str):
             "b": jnp.asarray(sd[_join(prefix, "bias")])}
 
 
+def _conv1d_qkv(sd: StateDict, prefix: str, n_head: int):
+    """HF c_attn Conv1D (in, 3C) packed [q|k|v] with heads minor ->
+    our heads-major packing [h0:(q,k,v), h1:(q,k,v), ...] (predictor._block):
+    slicing the packed dim over a TP mesh axis is then head-aligned."""
+    w = np.asarray(sd[_join(prefix, "weight")])
+    b = np.asarray(sd[_join(prefix, "bias")])
+    c_in, three_c = w.shape
+    hd = three_c // 3 // n_head
+    w = w.reshape(c_in, 3, n_head, hd).transpose(0, 2, 1, 3)
+    b = b.reshape(3, n_head, hd).transpose(1, 0, 2)
+    return {"w": jnp.asarray(w.reshape(c_in, three_c)),
+            "b": jnp.asarray(b.reshape(three_c))}
+
+
 def _ln(sd: StateDict, prefix: str):
     if _join(prefix, "weight") not in sd:  # elementwise_affine=False
         return {}
@@ -137,8 +151,11 @@ def import_fuser(fuser, sd, prefix=""):
     raise ValueError(f"unknown fuser class {cls}")
 
 
-def import_gpt2(sd, prefix):
-    """BaseFuturePredictor: '{prefix}.gpt_model.*' HF GPT-2 weights."""
+def import_gpt2(sd, prefix, n_head=4):
+    """BaseFuturePredictor: '{prefix}.gpt_model.*' HF GPT-2 weights.
+
+    ``n_head`` drives the qkv head re-interleave (see _conv1d_qkv); the
+    reference default is 4 (conf/model/common.yaml fp_heads)."""
     g = _join(prefix, "gpt_model")
     n_layer = 0
     while any(k.startswith(f"{g}.h.{n_layer}.") for k in sd):
@@ -148,7 +165,7 @@ def import_gpt2(sd, prefix):
         b = f"{g}.h.{i}"
         blocks.append({
             "ln_1": _ln(sd, f"{b}.ln_1"),
-            "c_attn": _conv1d(sd, f"{b}.attn.c_attn"),
+            "c_attn": _conv1d_qkv(sd, f"{b}.attn.c_attn", n_head),
             "c_proj": _conv1d(sd, f"{b}.attn.c_proj"),
             "ln_2": _ln(sd, f"{b}.ln_2"),
             "c_fc": _conv1d(sd, f"{b}.mlp.c_fc"),
@@ -219,12 +236,13 @@ def import_cmfp(cmfp, sd, prefix=""):
             modk: _maybe_codec(sd, f"{p}dim_decoder.{modk}")
             for modk in cmfp.modality_dims}
 
+    n_head = cmfp.predictor_proto.n_head
     if cmfp.common_predictor:
         params["future_predictor"] = {
-            "shared": import_gpt2(sd, f"{p}future_predictor")}
+            "shared": import_gpt2(sd, f"{p}future_predictor", n_head)}
     else:
         params["future_predictor"] = {
-            modk: import_gpt2(sd, f"{p}future_predictor.{modk}")
+            modk: import_gpt2(sd, f"{p}future_predictor.{modk}", n_head)
             for modk in cmfp.modality_dims}
 
     clf = {}

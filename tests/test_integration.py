@@ -188,6 +188,28 @@ def test_tensor_parallel_matches_replicated():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_tensor_parallel_qkv_head_aligned():
+    """The GPT-2 c_attn packs heads-major, so TP_RULES' P(None, 'model')
+    slice is head-aligned: the compiled tp=2 forward must contain ZERO
+    all-gathers (only the row-parallel c_proj all-reduces). With the HF
+    [q|k|v] packing this same program needed 10 all-gathers."""
+    import re
+    from afft_tpu.models.predictor import BaseFuturePredictor
+    from afft_tpu.parallel.sharding import make_mesh_2d, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pred = BaseFuturePredictor(in_features=256, inter_dim=256, n_layer=2,
+                               n_head=4)
+    params = shard_params(make_mesh_2d(4, 2), pred.init(jax.random.key(0)))
+    mesh = make_mesh_2d(4, 2)
+    x = jax.device_put(jnp.ones((8, 6, 256), jnp.float32),
+                       NamedSharding(mesh, P("data")))
+    hlo = jax.jit(lambda p, x: pred.apply(p, x, 1)[0]).lower(
+        params, x).compile().as_text()
+    assert len(re.findall(r"all-gather\b", hlo)) == 0
+    assert len(re.findall(r"all-reduce\b", hlo)) > 0  # TP really engaged
+
+
 def test_multi_target_labels():
     """label_type=[verb, noun, action]: three classifier heads, three loss
     groups, marginalization-free multi-target training (reference supports

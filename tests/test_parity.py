@@ -140,7 +140,7 @@ def test_predictor(fixtures):
     sd, ins, outs = fixtures("predictor")
     pred = BaseFuturePredictor(in_features=64, inter_dim=64, n_layer=2,
                                n_head=2)
-    p = TI.import_gpt2(sd, "")
+    p = TI.import_gpt2(sd, "", n_head=2)
     y1, _ = pred.apply(p, jnp.asarray(ins["x"]), output_len=1)
     assert_close(y1, outs["y1"], "predictor.len1")
     y3, _ = pred.apply(p, jnp.asarray(ins["x"]), output_len=3)
