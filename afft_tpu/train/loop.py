@@ -183,6 +183,12 @@ def main(cfg: Config, interactive: bool = True):
                       class_mappings=dataset_train.class_mappings)
     rng, init_key = jax.random.split(rng)
     params = model.init(init_key)
+    # training-time mask stream (dropout/drop-path/mixup): the key impl
+    # travels with the key, so creating it as rbg routes every bernoulli/
+    # uniform in the step through the hardware bit generator instead of
+    # threefry (see conf train.rng_impl; ~11 ms/step on the flagship)
+    rng = jax.random.key(cfg.seed, impl=str(cfg.train.get("rng_impl")
+                                            or "threefry2x32"))
     n_params = sum(x.size for x in jax.tree.leaves(params))
     log.info("Model: %s with %s params", experiment_name,
              human_format(n_params))

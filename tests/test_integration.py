@@ -188,6 +188,30 @@ def test_tensor_parallel_matches_replicated():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_rbg_rng_stream_trains():
+    """train.rng_impl=rbg (the production default): the step's dropout/
+    drop-path/mixup masks come from the hardware bit-generator PRNG. The key
+    impl travels with the key, so the same Runner must accept both, produce
+    finite losses, and be deterministic per key."""
+    cfg = tiny_cfg()
+    batch = make_batch(cfg)
+    model, params, opt_state, runner = build_runner(cfg, donate=False)
+    mesh = make_mesh(jax.devices()[:1])
+    db = shard_batch(mesh, batch)
+    losses = {}
+    for impl in ("threefry2x32", "rbg"):
+        key = jax.random.key(7, impl=impl)
+        _, _, l1, _, _ = runner.train_step(params, opt_state, db, 0.01, 0.01,
+                                           key)
+        _, _, l2, _, _ = runner.train_step(params, opt_state, db, 0.01, 0.01,
+                                           key)
+        losses[impl] = float(l1["total_loss"])
+        assert np.isfinite(losses[impl])
+        assert float(l1["total_loss"]) == float(l2["total_loss"])  # det.
+    # different mask streams => (almost surely) different dropout losses
+    assert losses["rbg"] != losses["threefry2x32"]
+
+
 def test_tensor_parallel_qkv_head_aligned():
     """The GPT-2 c_attn packs heads-major, so TP_RULES' P(None, 'model')
     slice is head-aligned: the compiled tp=2 forward must contain ZERO

@@ -89,10 +89,13 @@ def main():
         return float(np.asarray(losses["total_loss"].astype(jnp.float32)))
 
     # compile + first step (loss BEFORE any update applies to batch 0)
+    # production mask stream: rbg keys (train.rng_impl default) — threefry
+    # mask generation costs ~11 ms/step at this scale (regenerated in bwd)
+    step_key = lambda i: jax.random.key(i, impl="rbg")
     p, s = params, opt_state
     t0 = time.perf_counter()
     p, s, losses, _, _ = runner.train_step(
-        p, s, batches[0], lr=1e-3, base_lr=1e-3, rng_key=jax.random.key(1))
+        p, s, batches[0], lr=1e-3, base_lr=1e-3, rng_key=step_key(1))
     loss_first = read_loss(losses)  # forced readback = compile barrier
     compile_s = time.perf_counter() - t0
 
@@ -101,7 +104,7 @@ def main():
     for i in range(1, args.steps):
         p, s, losses, _, _ = runner.train_step(
             p, s, batches[i % len(batches)], lr=1e-3, base_lr=1e-3,
-            rng_key=jax.random.key(i + 1))
+            rng_key=step_key(i + 1))
         if (i + 1) % 50 == 0:
             losses_trace.append(round(read_loss(losses), 4))
     loss_last = read_loss(losses)  # readback drains the queue
