@@ -86,10 +86,11 @@ def multihead_attention(q, k, v, mask=None, *, attn_drop=0.0, train=False,
     Pallas path is differentiable via a custom VJP whose backward runs the
     XLA formulation.
     """
+    from . import pallas_attn as PA
     needs_fallback = (
         return_weights
         or (train and attn_drop > 0.0)
-        or q.shape[-1] % 128 != 0
+        or not PA.supported(q.shape[2], q.shape[-1], batch=q.shape[0])
         or not _use_pallas()
     )
     if needs_fallback:

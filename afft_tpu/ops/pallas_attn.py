@@ -25,8 +25,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def supported(num_heads: int, head_dim: int) -> bool:
-    return head_dim % 128 == 0
+BLOCK_B = 16  # batch-tile rows; keep in sync with ops.attention dispatch
+
+
+def supported(num_heads: int, head_dim: int, batch: int = None) -> bool:
+    ok = head_dim % 128 == 0
+    if batch is not None:
+        # the batch must fill whole tiles: a grid tile larger than the
+        # array wedges the Mosaic pipeline on this toolchain (hung
+        # compile/execution observed, taking the TPU worker down). Small /
+        # ragged batches take the XLA path — they're dispatch-bound anyway.
+        ok = ok and batch % BLOCK_B == 0
+    return ok
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
@@ -61,7 +71,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
-def fused_attention(q, k, v, mask=None, *, interpret=False, block_b=16):
+def fused_attention(q, k, v, mask=None, *, interpret=False, block_b=BLOCK_B):
     """softmax((q k^T) * hd^-0.5 + mask) v  without materializing weights.
 
     Args:
@@ -72,6 +82,9 @@ def fused_attention(q, k, v, mask=None, *, interpret=False, block_b=16):
     Nk = k.shape[1]
     scale = float(hd) ** -0.5
     assert supported(H, hd), f"pallas path needs hd%128==0, got {hd}"
+    assert interpret or B % block_b == 0, \
+        f"fused_attention batch B={B} must fill whole {block_b}-row tiles " \
+        f"(partial tiles wedge the Mosaic pipeline); use the XLA path"
 
     # (B, N, H, hd) -> (B, N, C): contiguous reshape, no data movement
     C = H * hd

@@ -33,15 +33,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def supported(n_tokens: int, dim: int, num_heads: int, mlp_hidden: int) -> bool:
+def default_block_r(dtype) -> int:
+    """Row-tile size: fp32 tiles at HIGHEST matmul precision spill far more
+    registers than bf16; halve the row tile to stay inside VMEM."""
+    return 256 if dtype == jnp.bfloat16 else 128
+
+
+def supported(n_tokens: int, dim: int, num_heads: int, mlp_hidden: int,
+              n_rows: int = None, dtype=jnp.bfloat16) -> bool:
     head_dim = dim // num_heads
-    return (
+    ok = (
         n_tokens <= 8
         and dim % 128 == 0
         and head_dim * num_heads == dim
         and head_dim % 128 == 0
         and mlp_hidden % 128 == 0
     )
+    if n_rows is not None:
+        # rows must fill whole tiles: a grid tile larger than the array
+        # wedges the Mosaic pipeline on this toolchain (observed as a hung
+        # compile/execution at R=16 with block_r=256, taking the TPU worker
+        # down with it). Ragged/small row counts take the XLA path — they
+        # are dispatch-bound anyway (serving pads batches, so the hot path
+        # is always tile-aligned: R = B*T = 256*16).
+        ok = ok and n_rows % default_block_r(dtype) == 0
+    return ok
 
 
 def use_fused_block(x, dim: int, num_heads: int, mlp_hidden: int) -> bool:
@@ -58,7 +74,8 @@ def use_fused_block(x, dim: int, num_heads: int, mlp_hidden: int) -> bool:
         return False
     return (x.ndim == 3
             and x.dtype in (jnp.bfloat16, jnp.float32)
-            and supported(x.shape[1], dim, num_heads, mlp_hidden))
+            and supported(x.shape[1], dim, num_heads, mlp_hidden,
+                          n_rows=x.shape[0], dtype=x.dtype))
 
 
 def _dot(a, b, out_dtype=jnp.float32):
@@ -183,15 +200,16 @@ def fused_block(x, params, mask=None, *, num_heads: int, eps: float = 1e-6,
     """
     R, N, C = x.shape
     if not block_r:
-        # fp32 tiles at HIGHEST matmul precision spill far more registers
-        # than bf16; halve the row tile to stay inside VMEM
-        block_r = 256 if x.dtype == jnp.bfloat16 else 128
+        block_r = default_block_r(x.dtype)
     head_dim = C // num_heads
     wqkv = params["attn"]["qkv"]["w"]
     wfc1 = params["mlp"]["fc1"]["w"]
     mlp_hidden = wfc1.shape[1]
     assert supported(N, C, num_heads, mlp_hidden), \
         f"fused_block unsupported shape N={N} C={C} H={num_heads}"
+    assert interpret or R % block_r == 0, \
+        f"fused_block rows R={R} must fill whole {block_r}-row tiles " \
+        f"(partial tiles wedge the Mosaic pipeline); use the XLA path"
 
     dt = x.dtype
     full_mask = jnp.zeros((N, N), jnp.float32) if mask is None \
