@@ -22,9 +22,19 @@ import numpy as np
 
 
 def shard_indices(n: int, shuffle: bool, seed: int, epoch: int,
-                  shard_id: int = 0, num_shards: int = 1) -> np.ndarray:
-    """torch DistributedSampler-equivalent index selection."""
-    if shuffle:
+                  shard_id: int = 0, num_shards: int = 1,
+                  weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """torch DistributedSampler-equivalent index selection.
+
+    ``weights`` (len n, summing to 1) switches the epoch draw to weighted
+    sampling WITH replacement (class-balanced resampling, see
+    afft_tpu.data.stats) — epoch length stays n, sharding is unchanged.
+    """
+    if weights is not None:
+        assert shuffle, "weighted sampling implies shuffle"
+        g = np.random.default_rng(seed + epoch)
+        indices = g.choice(n, size=n, replace=True, p=weights)
+    elif shuffle:
         g = np.random.default_rng(seed + epoch)
         indices = g.permutation(n)
     else:
@@ -91,10 +101,12 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 42, num_workers: int = 8, shard_id: int = 0,
                  num_shards: int = 1, drop_last: bool = False,
-                 pad_final: bool = True, prefetch: int = 3):
+                 pad_final: bool = True, prefetch: int = 3,
+                 sample_weights: Optional[np.ndarray] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.sample_weights = sample_weights
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.shard_id = shard_id
@@ -116,7 +128,8 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[Dict]:
         indices = shard_indices(len(self.dataset), self.shuffle, self.seed,
-                                self._epoch, self.shard_id, self.num_shards)
+                                self._epoch, self.shard_id, self.num_shards,
+                                weights=self.sample_weights)
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

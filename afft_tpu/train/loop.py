@@ -100,10 +100,21 @@ def build_dataloaders(cfg, dist_info):
     local_batch = cfg.train.batch_size * jax.local_device_count()
     eval_batch = (cfg.eval.batch_size or cfg.train.batch_size * 4) * \
         jax.local_device_count()
+    sample_weights = None
+    cb_alpha = float(cfg.train.get("class_balanced_alpha") or 0.0)
+    if cb_alpha > 0.0:
+        from ..data.stats import balanced_sample_weights
+        target = dataset_train.label_type[0] \
+            if hasattr(dataset_train, "label_type") \
+            else next(iter(dataset_train.classes))
+        sample_weights = balanced_sample_weights(dataset_train, target,
+                                                 cb_alpha)
+        log.info("class-balanced resampling on %r (alpha=%.2f)", target,
+                 cb_alpha)
     loader_train = BatchLoader(
         dataset_train, batch_size=local_batch, shuffle=True, seed=cfg.seed,
         num_workers=cfg.workers, shard_id=dist_info["rank"],
-        num_shards=dist_info["world_size"])
+        num_shards=dist_info["world_size"], sample_weights=sample_weights)
     loader_val = BatchLoader(
         dataset_val, batch_size=eval_batch, shuffle=False, seed=cfg.seed,
         num_workers=cfg.workers, shard_id=dist_info["rank"],

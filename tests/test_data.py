@@ -451,3 +451,72 @@ def test_packed_store_int8_quantization(tmp_path):
     batch = store.get_frames_batch(np.array(["vidX", "vidX"]),
                                    np.stack([ids, ids + 2]))
     np.testing.assert_array_equal(batch[0], out)
+
+
+# ---------------------------------------------------------------------------
+# dataset-stats sampling / weighting utilities (new capability; see
+# afft_tpu/data/stats.py)
+# ---------------------------------------------------------------------------
+
+def test_class_counts_and_balanced_weights(synth_dataset):
+    from afft_tpu.data import stats as S
+    counts = S.class_counts(synth_dataset, "action")
+    labels = np.asarray(synth_dataset.df["action_class"].values)
+    assert counts.sum() == (labels >= 0).sum()
+    for c in np.unique(labels[labels >= 0]):
+        assert counts[c] == (labels == c).sum()
+
+    w = S.balanced_sample_weights(synth_dataset, "action", alpha=1.0)
+    assert w.shape == (len(synth_dataset),)
+    np.testing.assert_allclose(w.sum(), 1.0)
+    # alpha=1: every non-empty class gets equal total sampling mass
+    mass = {}
+    for c in np.unique(labels[labels >= 0]):
+        mass[c] = w[labels == c].sum()
+    vals = np.asarray(list(mass.values()))
+    np.testing.assert_allclose(vals, vals[0])
+    # alpha=0: uniform over samples
+    w0 = S.balanced_sample_weights(synth_dataset, "action", alpha=0.0)
+    np.testing.assert_allclose(w0, 1.0 / len(synth_dataset))
+
+
+def test_effective_number_class_weights():
+    from afft_tpu.data import stats as S
+    counts = np.array([1000, 10, 1, 0])
+    w = S.effective_number_class_weights(counts, beta=0.99)
+    assert w[2] > w[1] > w[0] > 0  # rarer => heavier
+    assert w[3] == 0.0             # empty class contributes nothing
+    nz = w[counts > 0]
+    np.testing.assert_allclose(nz.mean(), 1.0)
+
+
+def test_weighted_shard_indices_resample(synth_dataset):
+    from afft_tpu.data import stats as S
+    w = S.balanced_sample_weights(synth_dataset, "action", alpha=1.0)
+    n = len(synth_dataset)
+    labels = np.asarray(synth_dataset.df["action_class"].values)
+    # many epochs pooled: per-class draw frequency must approach equality
+    draws = np.concatenate([
+        shard_indices(n, True, 0, e, weights=w) for e in range(400)])
+    counts = np.bincount(labels[draws[labels[draws] >= 0]],
+                         minlength=labels.max() + 1)
+    nz = counts[counts > 0].astype(float)
+    assert nz.std() / nz.mean() < 0.1  # near-equal representation
+    # sharding still partitions the (weighted) epoch draw
+    full = shard_indices(n, True, 0, 7, weights=w)
+    parts = [shard_indices(n, True, 0, 7, shard_id=s, num_shards=2,
+                           weights=w) for s in range(2)]
+    assert sorted(np.concatenate(parts)) == sorted(
+        np.concatenate([full, full[:len(parts[0]) * 2 - n]]))
+
+
+def test_loader_sample_weights_end_to_end(synth_dataset):
+    from afft_tpu.data import stats as S
+    w = S.balanced_sample_weights(synth_dataset, "action", alpha=1.0)
+    loader = BatchLoader(synth_dataset, batch_size=5, shuffle=True, seed=0,
+                         num_workers=2, sample_weights=w)
+    seen = []
+    for batch in loader:
+        seen.extend(batch["idx"][batch["valid"]].tolist())
+    assert len(seen) == len(synth_dataset)  # epoch length preserved
+    assert set(seen) <= set(range(len(synth_dataset)))
