@@ -24,16 +24,24 @@ from typing import Dict
 import numpy as np
 
 
+def _labels(dataset, target: str) -> np.ndarray:
+    col = target + "_class"
+    if hasattr(dataset, "datasets"):  # ConcatClipDataset: joint labels
+        return np.concatenate([
+            np.asarray(d.df[col].values, np.int64)
+            for d in dataset.datasets])
+    assert col in dataset.df, f"dataset has no {col} column"
+    return np.asarray(dataset.df[col].values, np.int64)
+
+
 def class_counts(dataset, target: str = "action") -> np.ndarray:
     """Dense (n_classes,) per-class sample counts for ``target``.
 
     Rows labelled -1 (ignore) are excluded. Uses the dataset's annotation
     DataFrame directly — no feature loading.
     """
-    col = target + "_class"
-    assert col in dataset.df, f"dataset has no {col} column"
     n_classes = len(dataset.classes[target])
-    labels = np.asarray(dataset.df[col].values, np.int64)
+    labels = _labels(dataset, target)
     counts = np.bincount(labels[labels >= 0], minlength=n_classes)
     return counts[:n_classes].astype(np.int64)
 
@@ -46,15 +54,8 @@ def balanced_sample_weights(dataset, target: str = "action",
     expected representation per epoch; intermediate values temper the
     long tail. Samples labelled -1 keep a uniform-share weight.
     """
-    if hasattr(dataset, "datasets"):  # ConcatClipDataset: joint counts
-        labels = np.concatenate([
-            np.asarray(d.df[target + "_class"].values, np.int64)
-            for d in dataset.datasets])
-        n_classes = len(dataset.classes[target])
-        counts = np.bincount(labels[labels >= 0], minlength=n_classes)
-    else:
-        counts = class_counts(dataset, target)
-        labels = np.asarray(dataset.df[target + "_class"].values, np.int64)
+    counts = class_counts(dataset, target)
+    labels = _labels(dataset, target)
     class_w = np.power(np.maximum(counts, 1).astype(np.float64), -alpha)
     w = np.where(labels >= 0, class_w[np.clip(labels, 0, None)],
                  1.0 / max(len(labels), 1))

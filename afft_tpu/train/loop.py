@@ -236,11 +236,25 @@ def main(cfg: Config, interactive: bool = True):
 
     compute_dtype = jnp.bfloat16 \
         if cfg.model.get("compute_dtype") == "bfloat16" else jnp.float32
+    class_weights = None
+    cw_beta = cfg.train.get("class_weight_beta")
+    if cw_beta is not None:
+        from ..data.stats import class_counts, effective_number_class_weights
+        first_df = (dataset_train.datasets[0].df
+                    if hasattr(dataset_train, "datasets")
+                    else dataset_train.df)
+        class_weights = {
+            t: effective_number_class_weights(
+                class_counts(dataset_train, t), float(cw_beta))
+            for t in num_classes if f"{t}_class" in first_df}
+        log.info("effective-number class weighting (beta=%s) on %s",
+                 cw_beta, sorted(class_weights))
     runner = Runner(model, optimizer, groups,
                     loss_wts=dict(cfg.train.loss_wts.items()),
                     mixup=mixup_fn, mixup_backbone=cfg.train.mixup_backbone,
                     grad_clip=cfg.opt.grad_clip, compute_dtype=compute_dtype,
-                    watch_gradients=bool(cfg.train.get("watch_gradients")))
+                    watch_gradients=bool(cfg.train.get("watch_gradients")),
+                    class_weights=class_weights)
     metric_tracker = MetricTracker(num_classes)
 
     mesh = make_mesh()

@@ -51,17 +51,26 @@ def topk_correct(logits, labels, k):
     return (topk == labels[:, None]).any(axis=-1)
 
 
-def future_action_terms(logits, tgt_val, mixup_enable, valid):
+def future_action_terms(logits, tgt_val, mixup_enable, valid,
+                        class_weights=None):
     """Future-action loss + acc payload (reference runner.py:54-92).
 
     logits: (B, T', C) with T'>=1; tgt_val: (B,) int or (B, C) one-hot.
+    ``class_weights`` is an optional (C,) per-class loss weight vector
+    (torch ``CrossEntropyLoss(weight=...)`` semantics: index targets use a
+    weighted mean with the per-sample weight in the denominator; soft/one-hot
+    targets scale each class term and keep the plain-count denominator).
+    The reference trains unweighted; this is the loss-side counterpart of
+    the class-balanced sampler (afft_tpu.data.stats).
     Returns (loss, acc1, acc5, mt5r_logits, mt5r_labels).
     """
     B, Tp, C = logits.shape
     seq = 0
     if mixup_enable:
+        soft_tgt = tgt_val if class_weights is None else \
+            tgt_val * class_weights[None, :]
         loss = cross_entropy_one_hot(
-            logits.reshape(-1, C), jnp.repeat(tgt_val, Tp, axis=0))
+            logits.reshape(-1, C), jnp.repeat(soft_tgt, Tp, axis=0))
         loss = loss.reshape(B, Tp)
         # top-2 merge trick: credit the dominant mixup component with both
         # component scores (reference :62-74)
@@ -90,7 +99,14 @@ def future_action_terms(logits, tgt_val, mixup_enable, valid):
     acc5 = _masked_mean(
         topk_correct(flat_preds, flat_labels,
                      min(5, C)).astype(jnp.float32), flat_valid) * 100.0
-    loss = _masked_mean(loss.mean(axis=1), valid)
+    if class_weights is not None and not mixup_enable:
+        # torch weighted mean: sum_i w[y_i] ce_i / sum_i w[y_i]. The flat
+        # (B*T') weighted mean equals this per-sample form because every
+        # T' element of a sample shares its class weight.
+        w = class_weights[tgt_val] * valid.astype(jnp.float32)
+        loss = (loss.mean(axis=1) * w).sum() / jnp.maximum(w.sum(), 1e-12)
+    else:
+        loss = _masked_mean(loss.mean(axis=1), valid)
     # top-5 ids of the (mixup-merged) metric logits: all the MT5R meter
     # needs, accumulated on device so no per-step host readback happens
     top5 = jax.lax.top_k(preds[:, seq, :], min(5, C))[1]
@@ -121,9 +137,15 @@ def compute_losses_metrics(outputs: Dict, target: Dict,
                            target_subclips: Optional[Dict], *,
                            mixup_enable: bool = False,
                            target_subclips_ignore_index: Optional[Dict] = None,
-                           valid: Optional[jnp.ndarray] = None):
+                           valid: Optional[jnp.ndarray] = None,
+                           class_weights: Optional[Dict] = None):
     """BasicLossAccuracy.forward equivalent (reference runner.py:112-168).
 
+    ``class_weights`` optionally maps a target name to a (C,) per-class
+    weight vector applied to that target's future-action CE (``cls_*``
+    terms only — the past-frame loss keeps the reference's unweighted
+    all-elements mean, whose ignore-in-denominator quirk does not compose
+    with torch weighted-mean semantics).
     Returns (losses dict, metrics dict); mt5r payloads are dicts of device
     arrays to be consumed by the host-side MeanTopKRecallMeter.
     """
@@ -134,9 +156,10 @@ def compute_losses_metrics(outputs: Dict, target: Dict,
         valid = jnp.ones((B,), bool)
 
     for tgt_type, tgt_val in target.items():
+        cw = None if class_weights is None else class_weights.get(tgt_type)
         for modk, logits in outputs[f"logits/{tgt_type}"].items():
             loss, acc1, acc5, top5, m_labels = future_action_terms(
-                logits, tgt_val, mixup_enable, valid)
+                logits, tgt_val, mixup_enable, valid, class_weights=cw)
             losses[f"cls_{tgt_type}_{modk}"] = loss
             metrics[f"acc1_{tgt_type}_{modk}"] = acc1
             metrics[f"acc5_{tgt_type}_{modk}"] = acc5

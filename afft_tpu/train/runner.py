@@ -50,11 +50,17 @@ class Runner:
                  mixup=None, mixup_backbone: bool = True,
                  grad_clip: Optional[float] = None,
                  compute_dtype=jnp.float32, donate: bool = True,
-                 watch_gradients: bool = False):
+                 watch_gradients: bool = False,
+                 class_weights: Optional[Dict] = None):
         self.model = model
         self.optimizer = optimizer
         self.groups = groups
         self.loss_wts = dict(loss_wts)
+        # per-target (C,) loss weights for the future-action CE (effective-
+        # number class balancing, afft_tpu.data.stats); training only — the
+        # eval loss keeps the reference's unweighted value for comparability
+        self.class_weights = None if not class_weights else {
+            t: jnp.asarray(w, jnp.float32) for t, w in class_weights.items()}
         self.mixup = mixup
         self.mixup_backbone = mixup_backbone
         self.grad_clip = grad_clip
@@ -169,14 +175,16 @@ class Runner:
             train=train, rng=rng)
         return outputs, outputs_target
 
-    def _losses(self, outputs, outputs_target, valid, mixup_enable):
+    def _losses(self, outputs, outputs_target, valid, mixup_enable,
+                train=True):
         losses, metrics = LO.compute_losses_metrics(
             outputs, outputs_target["target"],
             outputs_target["target_subclips"],
             mixup_enable=mixup_enable,
             target_subclips_ignore_index=outputs_target[
                 "target_subclips_ignore_index"],
-            valid=valid)
+            valid=valid,
+            class_weights=self.class_weights if train else None)
         total = LO.reduce_losses(losses, self.loss_wts)
         return total, losses, metrics
 
@@ -225,7 +233,7 @@ class Runner:
             params, batch, train=False, rng_key=jax.random.key(0),
             use_mixup=False)
         total, losses, metrics = self._losses(
-            outputs, outputs_target, batch.get("valid"), False)
+            outputs, outputs_target, batch.get("valid"), False, train=False)
         losses = dict(losses)
         losses["total_loss"] = total
         valid = batch.get("valid")

@@ -293,3 +293,113 @@ def test_watch_gradients_metrics():
     assert np.isfinite(gn) and gn > 0
     assert np.isfinite(pn) and pn > 0
     assert any(k.startswith("grad_norm_") for k in metrics)
+
+
+# ---------------------------------------------------------------------------
+# class-weighted future-action CE (new capability; afft_tpu/data/stats.py)
+# ---------------------------------------------------------------------------
+
+def test_class_weighted_ce_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(3)
+    B, Tp, C = 12, 1, 7
+    logits = rng.standard_normal((B, Tp, C)).astype(np.float32)
+    tgt = rng.integers(0, C, (B,))
+    w = rng.uniform(0.2, 3.0, (C,)).astype(np.float32)
+    valid = np.ones((B,), bool)
+
+    loss, *_ = LO.future_action_terms(
+        jnp.asarray(logits), jnp.asarray(tgt), False, jnp.asarray(valid),
+        class_weights=jnp.asarray(w))
+    ref = F.cross_entropy(torch.tensor(logits[:, 0]), torch.tensor(tgt),
+                          weight=torch.tensor(w))
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+
+    # soft/one-hot (mixup) path: torch scales class terms, count denominator
+    soft = rng.uniform(0, 1, (B, C)).astype(np.float32)
+    soft /= soft.sum(axis=1, keepdims=True)
+    loss_soft, *_ = LO.future_action_terms(
+        jnp.asarray(logits), jnp.asarray(soft), True, jnp.asarray(valid),
+        class_weights=jnp.asarray(w))
+    logp = torch.log_softmax(torch.tensor(logits[:, 0]), dim=-1)
+    ref_soft = -(torch.tensor(soft * w[None]) * logp).sum(-1).mean()
+    np.testing.assert_allclose(float(loss_soft), float(ref_soft), rtol=1e-5)
+
+    # None reproduces the unweighted reference loss exactly
+    loss_none, *_ = LO.future_action_terms(
+        jnp.asarray(logits), jnp.asarray(tgt), False, jnp.asarray(valid))
+    ref_unw = F.cross_entropy(torch.tensor(logits[:, 0]), torch.tensor(tgt))
+    np.testing.assert_allclose(float(loss_none), float(ref_unw), rtol=1e-5)
+
+
+def test_class_weighted_ce_respects_valid_mask():
+    rng = np.random.default_rng(4)
+    B, C = 8, 5
+    logits = rng.standard_normal((B, 1, C)).astype(np.float32)
+    tgt = rng.integers(0, C, (B,))
+    w = rng.uniform(0.5, 2.0, (C,)).astype(np.float32)
+    valid = np.array([True] * 6 + [False] * 2)
+
+    loss_masked, *_ = LO.future_action_terms(
+        jnp.asarray(logits), jnp.asarray(tgt), False, jnp.asarray(valid),
+        class_weights=jnp.asarray(w))
+    loss_trunc, *_ = LO.future_action_terms(
+        jnp.asarray(logits[:6]), jnp.asarray(tgt[:6]), False,
+        jnp.ones((6,), bool), class_weights=jnp.asarray(w))
+    np.testing.assert_allclose(float(loss_masked), float(loss_trunc),
+                               rtol=1e-6)
+
+
+def test_runner_class_weights_train_only():
+    """Weights bias the TRAIN loss toward rare classes; eval stays
+    unweighted (reference-comparable)."""
+    from afft_tpu.train.runner import Runner
+    from afft_tpu.models import BaseModel
+    from afft_tpu.config import compose
+
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb: 16, flow: 16}", "model.common_dim=16",
+        "model.fuser.depth=1", "model.fuser.num_heads=2",
+        "model.common.fp_inter_dim=16", "model.common.fp_layers=1",
+        "model.common.fp_heads=2", "model.dropout=0.0"])
+    model = BaseModel(cfg.model, num_classes={"action": 5})
+    params = model.init(jax.random.key(0))
+    groups = O.build_group_tree(params, {}, 0.01, 0.0)
+    opt = O.sgd(momentum=0.9)
+    w = np.array([10.0, 0.1, 0.1, 0.1, 0.1], np.float32)
+    kwargs = dict(loss_wts={"cls_action": 1.0, "past_cls_action": 1.0,
+                            "past_reg": 1.0}, donate=False)
+    r_w = Runner(model, opt, groups, class_weights={"action": w}, **kwargs)
+    r_u = Runner(model, opt, groups, **kwargs)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "data_dict": {m: rng.standard_normal((4, 6, 16)).astype(np.float32)
+                      for m in ("rgb", "flow")},
+        "target": {"action": np.zeros((4,), np.int64)},  # all rare class 0
+        "valid": np.ones((4,), bool),
+    }
+    _, _, losses_w, _, _ = r_w.train_step(
+        params, opt.init(params, groups), batch, 0.0, 0.01, jax.random.key(1))
+    _, _, losses_u, _, _ = r_u.train_step(
+        params, opt.init(params, groups), batch, 0.0, 0.01, jax.random.key(1))
+    # weighted mean over a single class equals the unweighted mean...
+    np.testing.assert_allclose(float(losses_w["cls_action_all-fused"]),
+                               float(losses_u["cls_action_all-fused"]),
+                               rtol=1e-5)
+    # ...but eval never sees the weights even when set
+    ev_w, _, _, _ = r_w.eval_step(params, batch)
+    ev_u, _, _, _ = r_u.eval_step(params, batch)
+    np.testing.assert_allclose(float(ev_w["cls_action_all-fused"]),
+                               float(ev_u["cls_action_all-fused"]),
+                               rtol=1e-6)
+    # mixed-class batch: weighted != unweighted
+    batch["target"] = {"action": np.array([0, 1, 2, 3], np.int64)}
+    _, _, lw, _, _ = r_w.train_step(
+        params, opt.init(params, groups), batch, 0.0, 0.01, jax.random.key(1))
+    _, _, lu, _, _ = r_u.train_step(
+        params, opt.init(params, groups), batch, 0.0, 0.01, jax.random.key(1))
+    assert abs(float(lw["cls_action_all-fused"])
+               - float(lu["cls_action_all-fused"])) > 1e-4
