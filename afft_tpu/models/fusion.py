@@ -70,11 +70,16 @@ class _BlockStack:
                                    int(self.dim * self.mlp_ratio))):
             # inference fast path: each block is ONE Pallas kernel (LN+qkv+
             # n-token attention+proj+MLP, VMEM-resident) — ~30% faster than
-            # the XLA op-by-op path on the (B*T, n<=6, C) fusion shapes
+            # the XLA op-by-op path on the (B*T, n<=6, C) fusion shapes.
+            # Tokens-major layout: ONE transpose on each side of the stack
+            # makes the kernels' token gather/scatter free reshapes
+            # (measured 24.6 -> 22.3 ms on the flagship 6-block stack)
+            x = jnp.transpose(x, (1, 0, 2))
             for blk_p in params["blocks"]:
                 x = PB.fused_block(x, blk_p, attn_mask,
                                    num_heads=self.num_heads,
-                                   eps=self.norm_eps)
+                                   eps=self.norm_eps, tokens_major=True)
+            x = jnp.transpose(x, (1, 0, 2))
             x = L.layernorm_apply(params["norm"], x, self.norm_eps)
             return x, [None] * self.depth
         attn_weights = []

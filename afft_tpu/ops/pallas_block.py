@@ -33,10 +33,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def default_block_r(dtype) -> int:
+def default_block_r(dtype, tokens_major: bool = False) -> int:
     """Row-tile size: fp32 tiles at HIGHEST matmul precision spill far more
-    registers than bf16; halve the row tile to stay inside VMEM."""
-    return 256 if dtype == jnp.bfloat16 else 128
+    registers than bf16; halve the row tile to stay inside VMEM. The
+    tokens-major fp32 layout needs one more halving (its whole-block
+    reshape keeps the full fp32 tile live: 100.84M > the 100M scoped-vmem
+    limit at r=128). fp32 is the parity-test path only, so the smaller
+    tile costs nothing in serving."""
+    if dtype == jnp.bfloat16:
+        return 256
+    return 64 if tokens_major else 128
 
 
 def supported(n_tokens: int, dim: int, num_heads: int, mlp_hidden: int,
@@ -118,10 +124,12 @@ def _gelu_exact(x32):
 
 def _block_kernel(x_ref, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
                   ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, mask_ref, o_ref, *,
-                  n_tokens: int, num_heads: int, head_dim: int, eps: float):
-    """One grid step = one (TR, N, C) row tile through the whole block."""
+                  n_tokens: int, num_heads: int, head_dim: int, eps: float,
+                  tokens_major: bool):
+    """One grid step = one (TR, N, C) row tile through the whole block
+    (or (N, TR, C) when ``tokens_major``)."""
     C = num_heads * head_dim
-    TR = x_ref.shape[0]
+    TR = x_ref.shape[1] if tokens_major else x_ref.shape[0]
     scale = float(head_dim) ** -0.5
     in_dtype = x_ref.dtype
 
@@ -131,8 +139,14 @@ def _block_kernel(x_ref, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
     # the earlier per-token variant). q/k/v held in the input dtype (bf16
     # in serving): halves the live VMEM set and matches the XLA path's
     # numerics (its einsum also runs on the bf16 qkv matmul output).
-    x_all = jnp.concatenate([x_ref[:, t, :] for t in range(n_tokens)],
-                            axis=0).astype(jnp.float32)     # (N*TR, C)
+    if tokens_major:
+        # (N, TR, C) -> (N*TR, C) is a free row-major collapse: the caller
+        # pre-transposed once for the whole block stack, so no in-kernel
+        # token-gather copy happens at all
+        x_all = x_ref[...].reshape(n_tokens * TR, C).astype(jnp.float32)
+    else:
+        x_all = jnp.concatenate([x_ref[:, t, :] for t in range(n_tokens)],
+                                axis=0).astype(jnp.float32)  # (N*TR, C)
     xn = _layernorm(x_all, ln1g, ln1b, eps)
     qkv = (_dot(xn.astype(in_dtype), wqkv[:])
            + bqkv[0].astype(jnp.float32)).astype(in_dtype)  # (N*TR, 3C)
@@ -177,8 +191,11 @@ def _block_kernel(x_ref, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
     h1 = _gelu_exact(h1)
     h2 = _dot(h1.astype(in_dtype), wfc2[:]) + bfc2[0].astype(jnp.float32)
     out = (y + h2).astype(o_ref.dtype)
-    for t in range(n_tokens):
-        o_ref[:, t, :] = out[t * TR:(t + 1) * TR, :]
+    if tokens_major:
+        o_ref[...] = out.reshape(n_tokens, TR, C)
+    else:
+        for t in range(n_tokens):
+            o_ref[:, t, :] = out[t * TR:(t + 1) * TR, :]
 
 
 def _as_row(x, dim, dtype):
@@ -189,18 +206,27 @@ def _as_row(x, dim, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret",
-                                             "block_r"))
+                                             "block_r", "tokens_major"))
 def fused_block(x, params, mask=None, *, num_heads: int, eps: float = 1e-6,
-                interpret: bool = False, block_r: int = 0):
+                interpret: bool = False, block_r: int = 0,
+                tokens_major: bool = False):
     """Run one pre-LN transformer block on (R, N, C) tokens in one kernel.
 
     ``params`` is the afft_tpu block pytree: norm1/attn{qkv,proj}/norm2/
     mlp{fc1,fc2} (see models.blocks.block_init); ``mask`` is an additive
     (N, N) attention mask or None. Returns (R, N, C) in x.dtype.
+
+    ``tokens_major=True`` takes/returns (N, R, C) instead: the caller
+    transposes ONCE around the whole block stack and the kernel's token
+    gather/scatter becomes a free reshape (saves two full-array VMEM
+    copies per block).
     """
-    R, N, C = x.shape
+    if tokens_major:
+        N, R, C = x.shape
+    else:
+        R, N, C = x.shape
     if not block_r:
-        block_r = default_block_r(x.dtype)
+        block_r = default_block_r(x.dtype, tokens_major)
     head_dim = C // num_heads
     wqkv = params["attn"]["qkv"]["w"]
     wfc1 = params["mlp"]["fc1"]["w"]
@@ -240,14 +266,19 @@ def fused_block(x, params, mask=None, *, num_heads: int, eps: float = 1e-6,
     grid = (pl.cdiv(R, block_r),)
     flops_mm = 2 * R * N * C * (3 * C + C + 2 * mlp_hidden)
     flops_attn = 2 * 2 * R * N * N * C
+    x_spec = pl.BlockSpec((N, block_r, C), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM) if tokens_major else \
+        pl.BlockSpec((block_r, N, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    out_shape = (N, R, C) if tokens_major else (R, N, C)
     out = pl.pallas_call(
         functools.partial(_block_kernel, n_tokens=N, num_heads=num_heads,
-                          head_dim=head_dim, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((R, N, C), dt),
+                          head_dim=head_dim, eps=eps,
+                          tokens_major=tokens_major),
+        out_shape=jax.ShapeDtypeStruct(out_shape, dt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_r, N, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             _const((1, C)), _const((1, C)),
             _const((C, 3 * C)), _const((1, 3 * C)),
             _const((C, C)), _const((1, C)),
@@ -256,8 +287,7 @@ def fused_block(x, params, mask=None, *, num_heads: int, eps: float = 1e-6,
             _const((mlp_hidden, C)), _const((1, C)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((block_r, N, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=x_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops_mm + flops_attn,
             bytes_accessed=2 * R * N * C * dt.itemsize

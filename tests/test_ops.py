@@ -67,6 +67,23 @@ class TestFusedBlock:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_tokens_major_matches_xla_block(self):
+        import jax
+        from afft_tpu.models import blocks as B
+        from afft_tpu.ops.pallas_block import fused_block
+
+        R, N, C, H = 32, 5, 256, 2
+        p = B.block_init(jax.random.key(0), C, H)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((R, N, C)), jnp.float32)
+        mask = cross_attention_diag_mask(N)
+        ref, _ = B.block_apply(p, x, H, mask, norm_eps=1e-6, train=False,
+                               need_weights=False)
+        out = fused_block(jnp.transpose(x, (1, 0, 2)), p, mask, num_heads=H,
+                          interpret=True, block_r=16, tokens_major=True)
+        np.testing.assert_allclose(np.asarray(jnp.transpose(out, (1, 0, 2))),
+                                   np.asarray(ref), rtol=2e-5, atol=2e-5)
+
     def test_shape_gate(self):
         from afft_tpu.ops.pallas_block import supported
         assert not supported(9, 256, 2, 1024)    # too many tokens

@@ -68,6 +68,18 @@ def main():
         assert err < tol, f"fused block mismatch ({dt}): rel {err}"
         print(f"OK fused-block==xla on TPU ({np.dtype(dt).name}, "
               f"rel|diff|={err:.2e})")
+        # tokens-major layout (the production serving path in
+        # models/fusion.py): same numerics through the free-reshape kernel
+        with jax.default_matmul_precision("highest"):
+            out_tm = jax.jit(lambda p, x: jnp.transpose(fused_block(
+                jnp.transpose(x, (1, 0, 2)), p, mask, num_heads=Hh,
+                tokens_major=True), (1, 0, 2)))(pd, x)
+        b_tm = np.asarray(out_tm.astype(jnp.float32))
+        err_tm = float(np.abs(a - b_tm).max() / (np.abs(a).max() + 1e-9))
+        assert err_tm < tol, \
+            f"tokens-major fused block mismatch ({dt}): rel {err_tm}"
+        print(f"OK fused-block-tm==xla on TPU ({np.dtype(dt).name}, "
+              f"rel|diff|={err_tm:.2e})")
 
     # --- 3. bf16-params logits export roundtrip -----------------------------
     import tempfile
