@@ -100,6 +100,17 @@ class BaseFuturePredictor:
         mask = L.neg_inf_causal_mask(T, embeds.dtype)
         x = embeds + jnp.take(params["wpe"], position_ids, axis=0)
         x = L.dropout(x, self.embd_pdrop, train, rng)
+        from ..ops import pallas_gpt2 as PG
+        if (not train and not collect_attn
+                and PG.use_fused_gpt2(x, self.n_head, self.n_inner)):
+            # inference fast path: each layer = two Pallas kernels (attn
+            # half + MLP half) with no XLA ops in between; weights per
+            # half stay VMEM-resident across the batch grid
+            for p in params["blocks"]:
+                x = PG.fused_gpt2_block(x, p, mask, num_heads=self.n_head,
+                                        eps=1e-5)
+            x = L.layernorm_apply(params["ln_f"], x, 1e-5)
+            return x, None
         attns = []
         for p in params["blocks"]:
             x, w = self._block(p, x, mask, train=train, rng=rng,

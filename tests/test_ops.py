@@ -89,3 +89,37 @@ class TestFusedBlock:
         assert not supported(9, 256, 2, 1024)    # too many tokens
         assert not supported(5, 192, 2, 768)     # head_dim 96 not 128-mult
         assert supported(6, 1024, 4, 4096)       # SA-Fuser flagship shape
+
+
+class TestFusedGPT2Block:
+    """Pallas two-kernel GPT-2 block vs the XLA predictor block
+    (interpret mode; real-TPU equality in tools/tpu_smoke.py)."""
+
+    def test_matches_xla_block(self):
+        import jax
+        from afft_tpu.models.predictor import BaseFuturePredictor
+        from afft_tpu.models import layers as L
+        from afft_tpu.ops.pallas_gpt2 import fused_gpt2_block
+
+        B, T, C = 8, 16, 256
+        fp = BaseFuturePredictor(in_features=128, inter_dim=C, n_layer=1,
+                                 n_head=2, embd_pdrop=0.0, resid_pdrop=0.0,
+                                 attn_pdrop=0.0)
+        params = fp.init(jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (B, T, C), jnp.float32)
+        mask = L.neg_inf_causal_mask(T, x.dtype)
+        ref, _ = fp._block(params["blocks"][0], x, mask, train=False,
+                           rng=None, collect_attn=False)
+        out = fused_gpt2_block(x, params["blocks"][0], mask, num_heads=2,
+                               interpret=True, block_b=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_shape_gate(self):
+        from afft_tpu.ops.pallas_gpt2 import supported
+        assert supported(256, 16, 2048, 4, 8192)      # flagship GPT-2
+        assert not supported(250, 16, 2048, 4, 8192)  # ragged batch
+        assert not supported(256, 16, 2000, 4, 8192)  # dim not 128-mult
+        assert not supported(256, 16, 1024, 16, 4096)  # head_dim 64 < 128
+        assert not supported(256, 16, 2048, 4, 8192,
+                             dtype=jnp.float32)  # fp32 weights > VMEM

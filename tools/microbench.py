@@ -125,14 +125,30 @@ def bench_gpt2():
     x = jax.random.normal(jax.random.key(1), (Bsz, T, C), jnp.bfloat16)
     flops = 6 * (2 * Bsz * T * C * 12 * C + 2 * 2 * Bsz * T * T * C)
 
+    import os
+    os.environ["AFFT_DISABLE_PALLAS"] = "1"
+
     @jax.jit
-    def run(p, x):
+    def run_xla(p, x):
         h, _ = fp.forward_hidden(p, x, jnp.arange(T), train=False)
         return h
 
-    dt = _time_fn(run, params, x)
+    dt = _time_fn(run_xla, params, x)
     print(f"gpt2 6L XLA:              {dt * 1e3:7.2f} ms  "
           f"{flops / dt / 1e12:6.1f} TFLOPS")
+    del os.environ["AFFT_DISABLE_PALLAS"]
+
+    @jax.jit
+    def run_fused(p, x):
+        h, _ = fp.forward_hidden(p, x, jnp.arange(T), train=False)
+        return h
+
+    try:
+        dt = _time_fn(run_fused, params, x)
+        print(f"gpt2 6L pallas 2-kernel:  {dt * 1e3:7.2f} ms  "
+              f"{flops / dt / 1e12:6.1f} TFLOPS")
+    except Exception as e:  # noqa
+        print(f"gpt2 6L pallas: FAILED {type(e).__name__}: {str(e)[:160]}")
 
 
 def bench_flagship():

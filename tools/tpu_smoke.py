@@ -81,6 +81,36 @@ def main():
         print(f"OK fused-block-tm==xla on TPU ({np.dtype(dt).name}, "
               f"rel|diff|={err_tm:.2e})")
 
+    # --- 2b. fused GPT-2 block (2-kernel) vs XLA predictor block ------------
+    from afft_tpu.models.predictor import BaseFuturePredictor
+    from afft_tpu.models.layers import neg_inf_causal_mask
+    from afft_tpu.ops.pallas_gpt2 import fused_gpt2_block, default_block_b
+    Bg, Tg, Cg = 128, 16, 2048
+    fpred = BaseFuturePredictor(in_features=1024, inter_dim=Cg, n_layer=1,
+                                n_head=4, embd_pdrop=0.0, resid_pdrop=0.0,
+                                attn_pdrop=0.0)
+    gp = fpred.init(jax.random.key(2))
+    gmask = neg_inf_causal_mask(Tg, jnp.float32)
+    # bf16 only: the fused GPT-2 path is gated to bf16 (fp32 weights for
+    # the C=2048 MLP half exceed VMEM); fp32 parity runs the XLA path
+    for dt, tol in [(jnp.bfloat16, 3e-2)]:
+        assert Bg % default_block_b(dt) == 0
+        pd = jax.tree.map(lambda a: a.astype(dt), gp["blocks"][0])
+        xg = jnp.asarray(rng.standard_normal((Bg, Tg, Cg)),
+                         jnp.float32).astype(dt)
+        with jax.default_matmul_precision("highest"):
+            ref = jax.jit(lambda p, x: fpred._block(
+                p, x, gmask.astype(x.dtype), train=False, rng=None,
+                collect_attn=False)[0])(pd, xg)
+            out = jax.jit(lambda p, x: fused_gpt2_block(
+                x, p, gmask, num_heads=4))(pd, xg)
+        a = np.asarray(ref.astype(jnp.float32))
+        b = np.asarray(out.astype(jnp.float32))
+        err = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-9))
+        assert err < tol, f"fused gpt2 block mismatch ({dt}): rel {err}"
+        print(f"OK fused-gpt2-block==xla on TPU ({np.dtype(dt).name}, "
+              f"rel|diff|={err:.2e})")
+
     # --- 3. bf16-params logits export roundtrip -----------------------------
     import tempfile
 
