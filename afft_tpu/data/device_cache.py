@@ -90,10 +90,12 @@ class DeviceFeatureCache:
         return batch
 
     def iter_batches(self, batch_size: int, shuffle=False, seed=0, epoch=0,
-                     shard_id=0, num_shards=1, pad_final=True):
+                     shard_id=0, num_shards=1, pad_final=True,
+                     sample_weights=None):
         from .loader import shard_indices
         indices = shard_indices(len(self.dataset), shuffle, seed, epoch,
-                                shard_id, num_shards)
+                                shard_id, num_shards,
+                                weights=sample_weights)
         n_batches = int(np.ceil(len(indices) / batch_size))
         for b in range(n_batches):
             chunk = indices[b * batch_size:(b + 1) * batch_size]

@@ -79,7 +79,10 @@ def summarize(dataset) -> Dict[str, Dict[str, float]]:
     """Human-readable long-tail summary per target (for logs)."""
     out = {}
     for target in dataset.classes:
-        c = class_counts(dataset, target)
+        try:
+            c = class_counts(dataset, target)
+        except (AssertionError, KeyError):  # target without a label column
+            continue
         nz = c[c > 0]
         out[target] = {
             "classes": int(c.size),

@@ -205,6 +205,13 @@ def _as_row(x, dim, dtype):
     return x.reshape(1, dim).astype(dtype)
 
 
+def _const(shape):
+    """BlockSpec for an operand replicated across all grid steps (weights,
+    biases): stays VMEM-resident instead of being refetched per step."""
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret",
                                              "block_r", "tokens_major"))
 def fused_block(x, params, mask=None, *, num_heads: int, eps: float = 1e-6,
@@ -258,10 +265,6 @@ def fused_block(x, params, mask=None, *, num_heads: int, eps: float = 1e-6,
         _as_row(params["mlp"]["fc2"].get("b"), C, dt),
         full_mask,
     ]
-
-    def _const(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
 
     grid = (pl.cdiv(R, block_r),)
     flops_mm = 2 * R * N * C * (3 * C + C + 2 * mlp_hidden)

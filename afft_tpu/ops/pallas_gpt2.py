@@ -46,6 +46,15 @@ def default_block_b(dtype) -> int:
 def supported(batch, n_tokens: int, dim: int, num_heads: int,
               mlp_hidden: int, dtype=jnp.bfloat16) -> bool:
     head_dim = dim // num_heads
+    tb = default_block_b(dtype)
+    # VMEM budget: the MLP half holds both weight matrices, the hidden
+    # tile and (double-buffered) in/out tiles; the attention half is
+    # smaller. The flagship (T=16) sits at ~101 MB under the 110 MB
+    # vmem_limit; longer temporal contexts grow the tiles linearly and
+    # must fall back to XLA instead of failing the Mosaic compile.
+    itemsize = 2  # bf16-only path, see below
+    mlp_bytes = (2 * dim * mlp_hidden + tb * n_tokens * mlp_hidden
+                 + 4 * tb * n_tokens * dim) * itemsize
     ok = (
         # bf16 only: at C=2048 the MLP half's fp32 weights alone are
         # 2 * C * 4C * 4B = 134 MB — over the whole VMEM. The fp32
@@ -55,6 +64,7 @@ def supported(batch, n_tokens: int, dim: int, num_heads: int,
         and head_dim * num_heads == dim
         and head_dim % 128 == 0
         and mlp_hidden % 128 == 0
+        and mlp_bytes < 105 * 1024 * 1024
     )
     if batch is not None:
         # batches must fill whole tiles (partial grid tiles wedge Mosaic
@@ -81,19 +91,9 @@ def use_fused_gpt2(x, num_heads: int, mlp_hidden: int) -> bool:
                           mlp_hidden, dtype=x.dtype))
 
 
-def _dot(a, b, out_dtype=jnp.float32):
-    # precision pinning per dtype: see ops/pallas_block.py._dot
-    prec = None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=out_dtype, precision=prec)
-
-
-def _layernorm(x32, g_ref, b_ref, eps):
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+# shared Mosaic helpers (incl. the per-dtype precision-pinning rule and
+# fp32 LN statistics) — single source of truth in pallas_block
+from .pallas_block import _as_row, _const, _dot, _layernorm  # noqa: E402
 
 
 def _gelu_new(x32):
@@ -156,13 +156,6 @@ def _mlp_half_kernel(y_ref, ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, o_ref, *,
     o_ref[...] = (y32 + h2).astype(o_ref.dtype).reshape(TB, n_tokens, C)
 
 
-def _row(x, dim, dtype):
-    return x.reshape(1, dim).astype(dtype)
-
-
-def _const(shape):
-    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret",
@@ -221,9 +214,9 @@ def fused_gpt2_block(x, params, mask, *, num_heads: int, eps: float = 1e-5,
         ),
         interpret=interpret,
     )(x,
-      _row(params["ln_1"]["g"], C, dt), _row(params["ln_1"]["b"], C, dt),
-      params["c_attn"]["w"].astype(dt), _row(params["c_attn"]["b"], 3 * C, dt),
-      params["c_proj"]["w"].astype(dt), _row(params["c_proj"]["b"], C, dt),
+      _as_row(params["ln_1"]["g"], C, dt), _as_row(params["ln_1"]["b"], C, dt),
+      params["c_attn"]["w"].astype(dt), _as_row(params["c_attn"]["b"], 3 * C, dt),
+      params["c_proj"]["w"].astype(dt), _as_row(params["c_proj"]["b"], C, dt),
       mask32)
 
     out = pl.pallas_call(
@@ -249,9 +242,9 @@ def fused_gpt2_block(x, params, mask, *, num_heads: int, eps: float = 1e-5,
         ),
         interpret=interpret,
     )(y,
-      _row(params["ln_2"]["g"], C, dt), _row(params["ln_2"]["b"], C, dt),
-      params["c_fc"]["w"].astype(dt), _row(params["c_fc"]["b"], mlp_hidden,
+      _as_row(params["ln_2"]["g"], C, dt), _as_row(params["ln_2"]["b"], C, dt),
+      params["c_fc"]["w"].astype(dt), _as_row(params["c_fc"]["b"], mlp_hidden,
                                            dt),
       params["mlp_c_proj"]["w"].astype(dt),
-      _row(params["mlp_c_proj"]["b"], C, dt))
+      _as_row(params["mlp_c_proj"]["b"], C, dt))
     return out

@@ -103,14 +103,15 @@ def build_dataloaders(cfg, dist_info):
     sample_weights = None
     cb_alpha = float(cfg.train.get("class_balanced_alpha") or 0.0)
     if cb_alpha > 0.0:
-        from ..data.stats import balanced_sample_weights
+        from ..data.stats import balanced_sample_weights, summarize
         target = dataset_train.label_type[0] \
             if hasattr(dataset_train, "label_type") \
             else next(iter(dataset_train.classes))
         sample_weights = balanced_sample_weights(dataset_train, target,
                                                  cb_alpha)
-        log.info("class-balanced resampling on %r (alpha=%.2f)", target,
-                 cb_alpha)
+        log.info("class-balanced resampling on %r (alpha=%.2f); "
+                 "long-tail stats: %s", target, cb_alpha,
+                 summarize(dataset_train).get(target))
     loader_train = BatchLoader(
         dataset_train, batch_size=local_batch, shuffle=True, seed=cfg.seed,
         num_workers=cfg.workers, shard_id=dist_info["rank"],
@@ -240,13 +241,13 @@ def main(cfg: Config, interactive: bool = True):
     cw_beta = cfg.train.get("class_weight_beta")
     if cw_beta is not None:
         from ..data.stats import class_counts, effective_number_class_weights
-        first_df = (dataset_train.datasets[0].df
-                    if hasattr(dataset_train, "datasets")
-                    else dataset_train.df)
+        sub_dfs = [d.df for d in dataset_train.datasets] \
+            if hasattr(dataset_train, "datasets") else [dataset_train.df]
         class_weights = {
             t: effective_number_class_weights(
                 class_counts(dataset_train, t), float(cw_beta))
-            for t in num_classes if f"{t}_class" in first_df}
+            for t in num_classes
+            if all(f"{t}_class" in df for df in sub_dfs)}
         log.info("effective-number class weighting (beta=%s) on %s",
                  cw_beta, sorted(class_weights))
     runner = Runner(model, optimizer, groups,
@@ -299,7 +300,10 @@ def main(cfg: Config, interactive: bool = True):
             return (cache_train.iter_batches(
                         bt, shuffle=True, seed=cfg.seed, epoch=epoch,
                         shard_id=dist_info["rank"],
-                        num_shards=dist_info["world_size"]),
+                        num_shards=dist_info["world_size"],
+                        # class-balanced resampling applies on this path
+                        # too (train.class_balanced_alpha)
+                        sample_weights=loader_train.sample_weights),
                     cache_val.iter_batches(
                         bv, shuffle=False, shard_id=dist_info["rank"],
                         num_shards=dist_info["world_size"]))

@@ -102,8 +102,13 @@ def future_action_terms(logits, tgt_val, mixup_enable, valid,
     if class_weights is not None and not mixup_enable:
         # torch weighted mean: sum_i w[y_i] ce_i / sum_i w[y_i]. The flat
         # (B*T') weighted mean equals this per-sample form because every
-        # T' element of a sample shares its class weight.
-        w = class_weights[tgt_val] * valid.astype(jnp.float32)
+        # T' element of a sample shares its class weight. ignore_index
+        # (-1) rows get weight 0, excluding them from BOTH numerator and
+        # denominator exactly like torch CrossEntropyLoss(weight=...,
+        # ignore_index=-1) (cross_entropy_index already zeros their loss).
+        w = jnp.where(tgt_val >= 0,
+                      class_weights[jnp.clip(tgt_val, 0, None)], 0.0)
+        w = w * valid.astype(jnp.float32)
         loss = (loss.mean(axis=1) * w).sum() / jnp.maximum(w.sum(), 1e-12)
     else:
         loss = _masked_mean(loss.mean(axis=1), valid)

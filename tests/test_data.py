@@ -520,3 +520,27 @@ def test_loader_sample_weights_end_to_end(synth_dataset):
         seen.extend(batch["idx"][batch["valid"]].tolist())
     assert len(seen) == len(synth_dataset)  # epoch length preserved
     assert set(seen) <= set(range(len(synth_dataset)))
+
+
+def test_device_cache_respects_sample_weights(synth_dataset):
+    """class-balanced resampling applies on the data_on_device path too
+    (the HBM cache's epoch draw goes through the same weighted
+    shard_indices as the host loader)."""
+    jax = pytest.importorskip("jax")
+    from afft_tpu.data import stats as S
+    from afft_tpu.data.device_cache import DeviceFeatureCache
+
+    try:
+        cache = DeviceFeatureCache(synth_dataset)
+    except AssertionError as e:
+        pytest.skip(f"cache unavailable for synth dataset: {e}")
+    w = S.balanced_sample_weights(synth_dataset, "action", alpha=1.0)
+    seen_w, seen_u = [], []
+    for batch in cache.iter_batches(5, shuffle=True, seed=0, epoch=3,
+                                    sample_weights=w):
+        pass
+    idx_w = shard_indices(len(synth_dataset), True, 0, 3, weights=w)
+    idx_u = shard_indices(len(synth_dataset), True, 0, 3)
+    assert not np.array_equal(idx_w, idx_u)
+    # the weighted draw can repeat indices; the uniform one cannot
+    assert len(set(idx_u.tolist())) == len(synth_dataset)

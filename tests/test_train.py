@@ -403,3 +403,24 @@ def test_runner_class_weights_train_only():
         params, opt.init(params, groups), batch, 0.0, 0.01, jax.random.key(1))
     assert abs(float(lw["cls_action_all-fused"])
                - float(lu["cls_action_all-fused"])) > 1e-4
+
+
+def test_class_weighted_ce_ignore_index_matches_torch():
+    """-1 targets are excluded from BOTH numerator and denominator
+    (torch CrossEntropyLoss(weight=..., ignore_index=-1) semantics)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(7)
+    B, C = 10, 6
+    logits = rng.standard_normal((B, 1, C)).astype(np.float32)
+    tgt = rng.integers(0, C, (B,))
+    tgt[[1, 4, 7]] = -1
+    w = rng.uniform(0.2, 5.0, (C,)).astype(np.float32)
+
+    loss, *_ = LO.future_action_terms(
+        jnp.asarray(logits), jnp.asarray(tgt), False,
+        jnp.ones((B,), bool), class_weights=jnp.asarray(w))
+    ref = F.cross_entropy(torch.tensor(logits[:, 0]), torch.tensor(tgt),
+                          weight=torch.tensor(w), ignore_index=-1)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
