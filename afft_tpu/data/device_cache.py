@@ -46,30 +46,65 @@ class DeviceFeatureCache:
             "device cache needs the precomputed clip plan"
         assert all(t is None for t in dataset.transforms.values()), \
             "host-side transforms (e.g. ZeroMask) require the host loader"
-        dtype = dtype or jnp.bfloat16
+        self.quantized = dtype in ("int8", np.int8, jnp.int8)
+        dtype = jnp.bfloat16 if (dtype is None or self.quantized) else dtype
         if max_bytes is not None:
-            need = estimated_bytes(dataset, np.dtype("float16").itemsize)
+            need = estimated_bytes(dataset, 1 if self.quantized else 2)
             assert need <= max_bytes, \
                 f"dataset too large for device cache: {need / 1e9:.1f} GB"
 
         self.dataset = dataset
         plan = dataset._plan
         n = len(dataset)
+        # features[mod] is either a (N, T, F) array, or — with int8
+        # quantization (halved HBM footprint; symmetric per-frame scales,
+        # same scheme as the packed store's int8 mode, readers.py) — a
+        # (int8 (N, T, F), scales (N, T)) tuple that ``take`` dequantizes
+        # on device at gather time.
         self.features: Dict[str, "jax.Array"] = {}
         for mod in dataset.reader_fn:
             parts = []
             for lo in range(0, n, chunk):
                 idx = np.arange(lo, min(lo + chunk, n))
-                host = dataset.load_batch(idx)["data_dict"][mod]
-                parts.append(jnp.asarray(host, dtype))
-            self.features[mod] = jnp.concatenate(parts, axis=0)
-        total = sum(f.nbytes for f in self.features.values())
-        log.info("device feature cache: %d clips, %.2f GB in HBM",
-                 n, total / 1e9)
+                host = np.asarray(dataset.load_batch(idx)["data_dict"][mod],
+                                  np.float32)
+                if self.quantized:
+                    scale = np.abs(host).max(axis=-1) / 127.0  # (chunk, T)
+                    q = np.where(scale[..., None] > 0,
+                                 np.rint(host / np.maximum(
+                                     scale, 1e-30)[..., None]), 0.0)
+                    parts.append((jnp.asarray(q.astype(np.int8)),
+                                  jnp.asarray(scale, jnp.bfloat16)))
+                else:
+                    parts.append(jnp.asarray(host, dtype))
+            if self.quantized:
+                self.features[mod] = (
+                    jnp.concatenate([p[0] for p in parts], axis=0),
+                    jnp.concatenate([p[1] for p in parts], axis=0))
+            else:
+                self.features[mod] = jnp.concatenate(parts, axis=0)
+        total = sum(sum(x.nbytes for x in (f if isinstance(f, tuple)
+                                           else (f,)))
+                    for f in self.features.values())
+        log.info("device feature cache: %d clips, %.2f GB in HBM%s",
+                 n, total / 1e9, " (int8)" if self.quantized else "")
 
         self.targets = {t: plan["target"][t] for t in dataset.label_type}
         self.labels = plan.get("labels")
         self.uid = np.asarray(plan["uid"])
+
+    @staticmethod
+    def take(entry, idx):
+        """Device-side gather of one modality's cache entry; dequantizes
+        int8 entries to bf16. Safe to call inside jit (entries are
+        pytrees), which fuses gather + dequant into the consuming program.
+        """
+        import jax.numpy as jnp
+        if isinstance(entry, tuple):
+            q, scale = entry
+            return (jnp.take(q, idx, axis=0).astype(jnp.bfloat16)
+                    * jnp.take(scale, idx, axis=0)[..., None])
+        return jnp.take(entry, idx, axis=0)
 
     def batch(self, indices: np.ndarray) -> Dict:
         """Batch dict with on-device feature gathers (tiny index upload)."""
@@ -77,7 +112,7 @@ class DeviceFeatureCache:
         indices = np.asarray(indices)
         idx_dev = jnp.asarray(indices.astype(np.int32))
         batch = {
-            "data_dict": {m: jnp.take(f, idx_dev, axis=0)
+            "data_dict": {m: self.take(f, idx_dev)
                           for m, f in self.features.items()},
             "target": {t: v[indices] for t, v in self.targets.items()},
             "uid": self.uid[indices],

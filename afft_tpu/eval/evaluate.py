@@ -137,7 +137,10 @@ def main(cfg: Config):
     if cfg.get("data_on_device") and \
             getattr(dataset_test, "supports_batch_load", lambda: False)():
         from ..data.device_cache import DeviceFeatureCache
-        cache = DeviceFeatureCache(dataset_test)
+        cache = DeviceFeatureCache(
+            dataset_test,
+            dtype="int8" if cfg.get("data_on_device_dtype") == "int8"
+            else None)
         loader = cache.iter_batches(eval_batch, shuffle=False,
                                     shard_id=shard_id, num_shards=num_shards)
     else:

@@ -285,9 +285,11 @@ def main(cfg: Config, interactive: bool = True):
     cache_train = cache_val = None
     if cfg.get("data_on_device"):
         from ..data.device_cache import DeviceFeatureCache
+        cache_dtype = "int8" \
+            if cfg.get("data_on_device_dtype") == "int8" else None
         try:
-            cache_train = DeviceFeatureCache(dataset_train)
-            cache_val = DeviceFeatureCache(dataset_val)
+            cache_train = DeviceFeatureCache(dataset_train, dtype=cache_dtype)
+            cache_val = DeviceFeatureCache(dataset_val, dtype=cache_dtype)
             log.info("serving features from HBM (data_on_device)")
         except AssertionError as e:
             log.warning("data_on_device unavailable (%s); host loader", e)

@@ -128,7 +128,8 @@ def bench_end_to_end(n_epochs=3):
 
     @jax.jit
     def fwd(p, table, idx):
-        feats = {m: jnp.take(f, idx, axis=0) for m, f in table.items()}
+        feats = {m: DeviceFeatureCache.take(f, idx)
+                 for m, f in table.items()}
         outputs, _ = model.apply(p, feats, train=False)
         return outputs["logits/action"]["all-fused"][:, 0, :]
 

@@ -544,3 +544,32 @@ def test_device_cache_respects_sample_weights(synth_dataset):
     assert not np.array_equal(idx_w, idx_u)
     # the weighted draw can repeat indices; the uniform one cannot
     assert len(set(idx_u.tolist())) == len(synth_dataset)
+
+
+def test_device_cache_int8_quantization(synth_dataset):
+    """int8 HBM cache: halved footprint, per-frame symmetric dequant on
+    gather, small bounded error vs the fp32 host features."""
+    from afft_tpu.data.device_cache import DeviceFeatureCache
+    cache8 = DeviceFeatureCache(synth_dataset, dtype="int8")
+    assert cache8.quantized
+    idx = np.arange(len(synth_dataset))
+    cb = cache8.batch(idx)
+    hb = synth_dataset.load_batch(idx)
+    for m in MODS:
+        got = np.asarray(cb["data_dict"][m], np.float32)
+        ref = np.asarray(hb["data_dict"][m], np.float32)
+        assert got.shape == ref.shape
+        # error bound: scale/2 per element = max|row|/254, plus the bf16
+        # scale storage; check a generous relative-to-row-max bound
+        row_max = np.abs(ref).max(axis=-1, keepdims=True)
+        err = np.abs(got - ref)
+        assert (err <= row_max * (1 / 254 + 1 / 128) + 1e-6).all()
+        # all-zero frames stay exactly zero
+        zero_rows = (ref == 0).all(axis=-1)
+        if zero_rows.any():
+            assert (got[zero_rows] == 0).all()
+    # footprint: int8 payload is half the bf16 cache's feature bytes
+    cache16 = DeviceFeatureCache(synth_dataset)
+    for m in MODS:
+        q, scale = cache8.features[m]
+        assert q.nbytes == cache16.features[m].nbytes // 2

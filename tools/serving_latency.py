@@ -37,6 +37,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from afft_tpu.config import compose
+    from afft_tpu.data.device_cache import DeviceFeatureCache
     from afft_tpu.models import BaseModel
     from afft_tpu.utils.sync import force_device_sync
 
@@ -59,7 +60,8 @@ def main():
 
     @jax.jit
     def fwd(p, table, idx):
-        feats = {m: jnp.take(f, idx, axis=0) for m, f in table.items()}
+        feats = {m: DeviceFeatureCache.take(f, idx)
+                 for m, f in table.items()}
         outputs, _ = model.apply(p, feats, train=False)
         return outputs["logits/action"]["all-fused"][:, 0, :]
 
