@@ -124,7 +124,11 @@ def bench_end_to_end(n_epochs=3):
     # the tunneled link). The one-time upload is amortized over the epochs
     # an evaluation/training run makes.
     from afft_tpu.data.device_cache import DeviceFeatureCache
-    cache = DeviceFeatureCache(ds)
+    # AFFT_BENCH_INT8=1 measures the quantized-cache serving path
+    # (data_on_device_dtype=int8): halved HBM footprint, dequant fused
+    # into the gather. Default stays bf16 (the driver-recorded number).
+    cache = DeviceFeatureCache(
+        ds, dtype="int8" if os.environ.get("AFFT_BENCH_INT8") else None)
 
     @jax.jit
     def fwd(p, table, idx):
