@@ -342,6 +342,11 @@ class FeatureClipDataset:
                 feats = feats.astype(np.float32)
             tfm = self.transforms.get(mod)
             if tfm is not None:
+                # host-side transforms compute in fp32: numpy emulates
+                # bf16 arithmetic in software (the bf16 staging fast path
+                # only applies to the transform-free serving pipeline)
+                if feats.dtype not in (np.float32, np.float64):
+                    feats = feats.astype(np.float32)
                 feats = np.stack([tfm(f) for f in feats])
             data[mod] = feats
         batch = {
@@ -368,6 +373,8 @@ class FeatureClipDataset:
                 feats = feats.astype(np.float32)
             tfm = self.transforms.get(mod)
             if tfm is not None:
+                if feats.dtype not in (np.float32, np.float64):
+                    feats = feats.astype(np.float32)  # see load_batch
                 feats = tfm(feats)
             data[mod] = feats
         item = {
@@ -461,6 +468,8 @@ class FeatureClipDataset:
                                                    req_fps)
         tfm = self.transforms.get(mod)
         if tfm is not None:
+            if feats.dtype not in (np.float32, np.float64):
+                feats = feats.astype(np.float32)  # see load_batch
             feats = tfm(feats)
         # keep reduced-precision stores (bf16 packed) as-is: transfer bytes
         # are the serving bottleneck; fp64 intermediates drop to fp32

@@ -158,10 +158,12 @@ class DeviceFeatureCache:
         final-batch padding otherwise burns ceil(n/B)-n/B of a batch per
         pass."""
         from .loader import shard_indices
-        indices = shard_indices(len(self.dataset), shuffle, seed, epoch,
-                                shard_id, num_shards)
-        if n_passes > 1:
-            indices = np.tile(indices, n_passes)
+        # each pass draws its own permutation (epoch+p) so multi-pass
+        # streaming with shuffle=True does not replay one clip order
+        indices = np.concatenate([
+            shard_indices(len(self.dataset), shuffle, seed, epoch + p,
+                          shard_id, num_shards)
+            for p in range(max(1, n_passes))])
         n_batches = int(np.ceil(len(indices) / batch_size))
         for b in range(n_batches):
             chunk = indices[b * batch_size:(b + 1) * batch_size]

@@ -45,8 +45,11 @@ class FeatureStore:
     feature_dim: int
 
     def get_frames(self, video: str, frame_ids: np.ndarray) -> np.ndarray:
-        """Return (len(frame_ids), F) float32 with the reference's backward
-        search + zero-fill semantics applied."""
+        """Return (len(frame_ids), F) features with the reference's backward
+        search + zero-fill semantics applied. float32 for float32/int8
+        stores; bfloat16 stores return bf16 ON PURPOSE — staged host bytes
+        are the serving bottleneck, and the dataset layer upcasts to fp32
+        whenever a host-side transform needs to compute on them."""
         raise NotImplementedError
 
     def available_frames(self, video: str) -> np.ndarray:

@@ -48,12 +48,17 @@ def allkeys(obj):
     return keys
 
 
-def gen_load_resfiles(resdir, prefix_h5=None):
+def gen_load_resfiles(resdir, prefix_h5=None, warn_if_multiple=False):
     import h5py
     prefix = prefix_h5 or PREFIX_H5
-    resfiles = glob.glob(osp.join(resdir, prefix + "*h5"))
+    resfiles = sorted(glob.glob(osp.join(resdir, prefix + "*h5")))
     if len(resfiles) == 0:
         raise ValueError(f"Didnt find any resfiles in {resdir}")
+    if warn_if_multiple and len(resfiles) > 1:
+        logging.warning(
+            "%d h5 files match %s*h5 in %s; only %s is read "
+            "(sorted order; reference convention)", len(resfiles), prefix,
+            resdir, resfiles[0])
     for resfile in resfiles:
         output_dict = {}
         with h5py.File(resfile, "r") as fin:
@@ -90,18 +95,26 @@ def epic100_unseen_tail_eval(probs, dataset):
     tn_idx = uids.isin(tail_nouns).values
     ta_idx = uids.isin(tail_actions).values
 
-    _, _, vmt5r_tail = compute_accuracy(
-        probs[0][tv_idx], dataset.df.verb_class.values[tv_idx])
-    _, _, nmt5r_tail = compute_accuracy(
-        probs[1][tn_idx], dataset.df.noun_class.values[tn_idx])
-    _, _, amt5r_tail = compute_accuracy(
-        probs[2][ta_idx], dataset.df.action_class.values[ta_idx])
-    _, _, vmt5r_unseen = compute_accuracy(
-        probs[0][unseen_idx], dataset.df.verb_class.values[unseen_idx])
-    _, _, nmt5r_unseen = compute_accuracy(
-        probs[1][unseen_idx], dataset.df.noun_class.values[unseen_idx])
-    _, _, amt5r_unseen = compute_accuracy(
-        probs[2][unseen_idx], dataset.df.action_class.values[unseen_idx])
+    def _mt5r_subset(p, labels, idx):
+        # empty subset (e.g. a custom split with no unseen/tail uids) would
+        # divide by zero inside topk_recall — the reference aborts here
+        # (challenge.py:109-158); report nan instead of killing the eval
+        if not idx.any():
+            return float("nan")
+        return compute_accuracy(p[idx], labels[idx])[2]
+
+    vmt5r_tail = _mt5r_subset(
+        probs[0], dataset.df.verb_class.values, tv_idx)
+    nmt5r_tail = _mt5r_subset(
+        probs[1], dataset.df.noun_class.values, tn_idx)
+    amt5r_tail = _mt5r_subset(
+        probs[2], dataset.df.action_class.values, ta_idx)
+    vmt5r_unseen = _mt5r_subset(
+        probs[0], dataset.df.verb_class.values, unseen_idx)
+    nmt5r_unseen = _mt5r_subset(
+        probs[1], dataset.df.noun_class.values, unseen_idx)
+    amt5r_unseen = _mt5r_subset(
+        probs[2], dataset.df.action_class.values, unseen_idx)
 
     return {"vmt5r_tail": vmt5r_tail, "nmt5r_tail": nmt5r_tail,
             "amt5r_tail": amt5r_tail, "vmt5r_unseen": vmt5r_unseen,
@@ -160,7 +173,11 @@ def marginalize_verb_noun(res_action, dataset, to_prob=True,
 
 
 def get_epic_marginalize_verb_noun(resdir, dataset, prefix_h5=None):
-    res = next(gen_load_resfiles(resdir, prefix_h5))
+    # reference parity: only the FIRST matching h5 is read
+    # (reference challenge.py:215 does next(gen_load_resfiles(...)) too);
+    # warn so multi-export dirs aren't silently nondeterministic
+    gen = gen_load_resfiles(resdir, prefix_h5, warn_if_multiple=True)
+    res = next(gen)
     res_action = None
     for key, val in res.items():
         if key.startswith("logits/action"):
@@ -258,6 +275,10 @@ def get_epic_marginalize_late_fuse(resdirs, dataset, weights=1.0,
         if accuracies["amt5r"] > best[0]:
             best = (accuracies["amt5r"], weight)
     logging.info("best weights: %s (amt5r %.2f)", best[1], best[0])
+    # reference parity: the LAST weight combination's accuracies/combined
+    # are returned (reference challenge.py:287-351 does the same; its
+    # mp_best_weights side list only tracks the best). Pass the best
+    # combo as the final element of ``weights`` to package it.
     return accuracies, combined, dataset
 
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, instantiate
+from ..config import Config
 from ..data.loader import BatchLoader, get_dataset
 from ..models.base_model import BaseModel
 from ..parallel.mesh import init_distributed, make_mesh, replicate_tree, \
@@ -62,9 +62,11 @@ def _forward_all(model, params, loader, mesh, num_heads_key="logits/action"):
         return outputs[num_heads_key][modk][:, 0, :].astype(jnp.float32)
 
     for batch in loader:
-        data = batch["data_dict"]
-        if not hasattr(next(iter(data.values())), "sharding"):
-            data = shard_batch(mesh, data)  # host batches need staging
+        # host batches need staging; device-cache batches are already jax
+        # arrays but must still be RE-sharded so a multi-device mesh splits
+        # the batch instead of replicating the forward on every device
+        # (device_put is a no-op when the sharding already matches)
+        data = shard_batch(mesh, batch["data_dict"])
         logits = fwd(params, data)
         valid = batch["valid"]
         yield (np.asarray(logits)[valid], batch["uid"][valid],
@@ -117,7 +119,8 @@ def evaluate(model, params, dataset, loader, mesh):
         f"{len(logits_array)} logits vs {len(dataset)} clips"
     accs, _ = marginalize_verb_noun(logits_array, dataset, to_prob=True,
                                     compute_manyshot_unseen_tail=True)
-    print_accuracies_epic(accs)
+    if jax.process_index() == 0:  # master-only console output
+        print_accuracies_epic(accs)
     return accs
 
 
@@ -166,8 +169,14 @@ def main(cfg: Config):
     params = replicate_tree(mesh, params)
 
     if cfg.get("save_name"):
+        # first checkpoint's model dir names the logits dir (matches the
+        # reference's create_ckpt_path-derived layout; a LIST of init
+        # checkpoints would otherwise stringify into a garbage dir name)
+        first_ckpt = cfg.init_from_model
+        if isinstance(first_ckpt, list):
+            first_ckpt = first_ckpt[0]
         save_dir = os.path.join(cfg.cwd, LOGITS_DIR,
-                                str(cfg.init_from_model).split("/")[0])
+                                str(first_ckpt).split("/")[0])
         if num_shards == 1:
             # reference-style streaming append (test.py:33-61)
             save_logits(model, params, loader, mesh, save_dir, cfg.save_name)

@@ -163,3 +163,23 @@ def test_late_fusion_and_submission_packaging(setup, tmp_path):
     assert all("," in k for k in one["action"])  # "verb,noun" keys
     with zipfile.ZipFile(out_dir / "submit.zip") as zf:
         assert zf.namelist() == ["test.json"]
+
+
+def test_unseen_tail_empty_subset_yields_nan(setup, tmp_path, monkeypatch):
+    """A split with no unseen/tail uids reports nan for those metrics
+    instead of aborting the evaluation (the reference divides by zero,
+    challenge.py:109-158)."""
+    from afft_tpu.eval.challenge import epic100_unseen_tail_eval
+    ds, *_ = setup
+    for f in ("validation_unseen_participants_ids.csv",
+              "validation_tail_verbs_ids.csv",
+              "validation_tail_nouns_ids.csv",
+              "validation_tail_actions_ids.csv"):
+        (tmp_path / f).write_text("")  # no ids -> empty subsets
+    monkeypatch.setattr(ds, "rulstm_annotation_dir", str(tmp_path))
+    rng = np.random.default_rng(0)
+    n = len(ds)
+    probs = [rng.random((n, int(ds.df[c].max()) + 1))
+             for c in ("verb_class", "noun_class", "action_class")]
+    out = epic100_unseen_tail_eval(probs, ds)
+    assert all(np.isnan(v) for v in out.values())
