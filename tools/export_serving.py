@@ -1,0 +1,142 @@
+"""Export a self-contained serving bundle: StableHLO graph + params.
+
+``jax.export`` serializes the EXACT traced computation (including the
+Pallas serving kernels on TPU) into a versioned, backward-compatible
+artifact. A deployment host replays it with jax alone — no framework
+model code, no config system, no retracing — so the serving graph that
+was validated is byte-for-byte the one deployed. Combined with the
+persistent XLA compile cache the serving process cold-starts without
+re-tracing the model.
+
+The bundle is platform-specific: export on the backend you will serve on
+(the model's fast paths are chosen at trace time — TPU traces the fused
+Pallas kernels, CPU the XLA path).
+
+Usage:
+  python tools/export_serving.py -c expts/01_SA-Fuser_ek100_val_TSN.txt \
+      [--ckpt CMFPEarly_.../checkpoint_best] [--batch 256] \
+      [--num-classes action:3806] [--dtype bfloat16] [--out serving_bundle]
+
+Writes OUT/{serving.jaxexport, params/, meta.json}; run with
+tools/serve_bundle.py.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BUNDLE_GRAPH = "serving.jaxexport"
+BUNDLE_PARAMS = "params"
+BUNDLE_META = "meta.json"
+
+
+def read_expt_overrides(path):
+    sys.path.insert(0, REPO)
+    import run
+    return run.read_file_into_cli(path)
+
+
+def build_serving_fn(cfg, num_classes, dtype):
+    """(model, params, fwd, modal_dims): fwd(params, feats) -> fp32 logits."""
+    import jax
+    import jax.numpy as jnp
+    from afft_tpu.models import BaseModel
+
+    model = BaseModel(cfg.model, num_classes=num_classes)
+    params = model.init(jax.random.key(cfg.get("seed", 42)))
+    if dtype == "bfloat16":
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    def fwd(p, feats):
+        outputs, _ = model.apply(p, feats, train=False)
+        heads = outputs["logits/action"]
+        modk = "all-fused" if "all-fused" in heads else next(iter(heads))
+        return heads[modk][:, 0, :].astype(jnp.float32)
+
+    return model, params, fwd
+
+
+def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
+                  ckpt_paths=None, log=print):
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    import orbax.checkpoint as ocp
+
+    model, params, fwd = build_serving_fn(cfg, num_classes, dtype)
+    if ckpt_paths:
+        from afft_tpu.train.checkpoint import init_from_model
+        import logging
+        params, _ = init_from_model(model, params, ckpt_paths,
+                                    None, logging.getLogger("export"))
+        if dtype == "bfloat16":
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    modal_dims = {m: int(d)
+                  for m, d in cfg.model.modal_dims.to_container().items()}
+    feat_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    feats_spec = {m: jax.ShapeDtypeStruct((batch, n_frames, d), feat_dtype)
+                  for m, d in modal_dims.items()}
+    exp = jexport.export(jax.jit(fwd))(params, feats_spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, BUNDLE_GRAPH), "wb") as f:
+        f.write(exp.serialize())
+    ocp.PyTreeCheckpointer().save(
+        os.path.abspath(os.path.join(out_dir, BUNDLE_PARAMS)),
+        jax.tree.map(np.asarray, params), force=True)
+    meta = {
+        "batch": batch,
+        "num_frames": n_frames,
+        "modal_dims": modal_dims,
+        "feat_dtype": dtype,
+        "num_classes": {k: int(v) for k, v in num_classes.items()},
+        "platforms": list(exp.platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, BUNDLE_META), "w") as f:
+        json.dump(meta, f, indent=1)
+    log(f"serving bundle -> {out_dir} (platforms {meta['platforms']}, "
+        f"B={batch} T={n_frames} dims={modal_dims})")
+    return out_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--cfg", required=True,
+                    help="expt override file (run.py format)")
+    ap.add_argument("--ckpt", nargs="*", default=None,
+                    help="checkpoint dir(s) under checkpoints/ to load")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--num-classes", default="action:3806",
+                    help="comma list target:count")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--out", default=os.path.join(REPO, "serving_bundle"))
+    args = ap.parse_args()
+
+    from afft_tpu.config import compose
+    cfg = compose(os.path.join(REPO, "afft_tpu/conf"),
+                  read_expt_overrides(args.cfg))
+    num_classes = {k: int(v) for k, v in
+                   (kv.split(":") for kv in args.num_classes.split(","))}
+    n_frames = int(cfg.data_eval.num_frames)
+    ckpts = None
+    if args.ckpt:
+        ckpts = [os.path.join(REPO, "checkpoints", p) for p in args.ckpt]
+    export_bundle(cfg, args.out, num_classes, args.batch, n_frames,
+                  args.dtype, ckpts)
+
+
+if __name__ == "__main__":
+    main()

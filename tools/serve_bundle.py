@@ -1,0 +1,98 @@
+"""Load and run a serving bundle produced by tools/export_serving.py.
+
+Needs only jax + orbax — no framework model code, no config system: the
+bundle IS the computation. Feed batches as an .npz of per-modality
+(B, T, F) arrays, or measure sustained throughput on random data.
+
+Usage:
+  python tools/serve_bundle.py --bundle serving_bundle [--input batch.npz]
+  python tools/serve_bundle.py --bundle serving_bundle --iters 50   # bench
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from export_serving import BUNDLE_GRAPH, BUNDLE_META, BUNDLE_PARAMS  # noqa
+
+
+def load_bundle(bundle_dir):
+    import jax
+    from jax import export as jexport
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(bundle_dir, BUNDLE_META)) as f:
+        meta = json.load(f)
+    with open(os.path.join(bundle_dir, BUNDLE_GRAPH), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    params = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(os.path.join(bundle_dir, BUNDLE_PARAMS)))
+    # commit params to the device ONCE: orbax restores numpy arrays, and
+    # numpy args to a jitted call are re-staged host->device on EVERY
+    # invocation (~26 s/call for the 780 MB flagship over the tunneled
+    # link; measured). device_put makes repeat calls reuse HBM buffers.
+    params = jax.tree.map(jax.device_put, params)
+    # jit the replayed computation so repeat calls hit the executable
+    # cache rather than re-invoking the export call machinery
+    fn = jax.jit(exp.call)
+    return fn, params, meta
+
+
+def _random_batch(meta, seed=0):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    dt = jnp.bfloat16 if meta["feat_dtype"] == "bfloat16" else jnp.float32
+    return {m: jnp.asarray(rng.standard_normal(
+        (meta["batch"], meta["num_frames"], d)).astype(np.float32)).astype(dt)
+        for m, d in meta["modal_dims"].items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bundle", required=True)
+    ap.add_argument("--input", default=None, help=".npz of (B, T, F) arrays")
+    ap.add_argument("--iters", type=int, default=0,
+                    help=">0: time sustained throughput on random data")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from afft_tpu.utils.sync import force_device_sync
+
+    fn, params, meta = load_bundle(args.bundle)
+    if args.input:
+        loaded = np.load(args.input)
+        dt = jnp.bfloat16 if meta["feat_dtype"] == "bfloat16" \
+            else jnp.float32
+        feats = {m: jnp.asarray(loaded[m]).astype(dt)
+                 for m in meta["modal_dims"]}
+    else:
+        feats = _random_batch(meta)
+
+    logits = fn(params, feats)
+    force_device_sync(logits)
+    print(json.dumps({
+        "bundle": args.bundle,
+        "logits_shape": list(logits.shape),
+        "logits_mean": float(jnp.mean(logits.astype(jnp.float32))),
+    }))
+
+    if args.iters > 0:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = fn(params, feats)
+        force_device_sync(out)
+        dt_s = time.perf_counter() - t0
+        clips = meta["batch"] * args.iters / dt_s
+        print(json.dumps({"clips_per_sec": round(clips, 1),
+                          "ms_per_batch": round(dt_s / args.iters * 1e3, 2)}))
+
+
+if __name__ == "__main__":
+    main()
