@@ -60,10 +60,25 @@ def local_device_count() -> int:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """device_put a host batch with the leading axis sharded over the mesh."""
+    """Stage a batch with the leading axis sharded over the mesh.
+
+    Single-process meshes use ``device_put``. When the mesh spans multiple
+    processes, each process holds its own rank-local shard (BatchLoader
+    with shard_id=rank), so the global array must be assembled with
+    ``make_array_from_process_local_data`` — device_put would treat every
+    process's DIFFERENT local shard as the same global batch, silently
+    feeding each device a fraction of its rows.
+    """
+    multiprocess = jax.process_count() > 1 and \
+        mesh.devices.size > jax.local_device_count()
+
     def put(x):
         spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree.map(put, batch)
 
 

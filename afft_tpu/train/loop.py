@@ -199,8 +199,12 @@ def main(cfg: Config, interactive: bool = True):
     # travels with the key, so creating it as rbg routes every bernoulli/
     # uniform in the step through the hardware bit generator instead of
     # threefry (see conf train.rng_impl; ~11 ms/step on the flagship)
-    rng = jax.random.key(cfg.seed, impl=str(cfg.train.get("rng_impl")
-                                            or "threefry2x32"))
+    # fold_in decorrelates the mask stream from the param-init key: with
+    # rng_impl=threefry2x32 a bare key(cfg.seed) would make step 0's
+    # first split reproduce init_key exactly
+    rng = jax.random.fold_in(
+        jax.random.key(cfg.seed, impl=str(cfg.train.get("rng_impl")
+                                          or "threefry2x32")), 1)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     log.info("Model: %s with %s params", experiment_name,
              human_format(n_params))
@@ -293,12 +297,14 @@ def main(cfg: Config, interactive: bool = True):
             log.info("serving features from HBM (data_on_device)")
         except AssertionError as e:
             log.warning("data_on_device unavailable (%s); host loader", e)
+            cache_train = cache_val = None  # never leave one side cached
 
     def epoch_loaders(epoch):
         if cache_train is not None:
-            bt = cfg.train.batch_size * jax.local_device_count()
-            bv = (cfg.eval.batch_size or cfg.train.batch_size * 4) * \
-                jax.local_device_count()
+            # same per-host batch sizes as the host loaders (single source:
+            # BatchLoader carries what build_dataloaders computed)
+            bt = loader_train.batch_size
+            bv = loader_val.batch_size
             return (cache_train.iter_batches(
                         bt, shuffle=True, seed=cfg.seed, epoch=epoch,
                         shard_id=dist_info["rank"],

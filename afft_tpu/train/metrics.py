@@ -224,7 +224,11 @@ class MetricTracker:
         return {k: m.value for k, m in self._metrics(is_training).items()}
 
     def get_data(self, metric_name, is_training):
-        return self._metrics(is_training)[metric_name].value
+        """Meter value, or None when the metric was never produced (the
+        loop skips plateau/best-checkpoint logic in that case rather than
+        crashing at epoch end on a mistyped primary_metric)."""
+        meter = self._metrics(is_training).get(metric_name)
+        return None if meter is None else meter.value
 
     def to_string(self, is_training):
         if is_training:

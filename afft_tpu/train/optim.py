@@ -46,16 +46,7 @@ def build_group_tree(params, lr_wd: Optional[List], overall_lr: float,
         for n in names:
             rules.append((str(n), float(lr), float(wd)))
 
-    def path_str(path):
-        parts = []
-        for p in path:
-            if hasattr(p, "key"):
-                parts.append(str(p.key))
-            elif hasattr(p, "idx"):
-                parts.append(str(p.idx))
-            else:
-                parts.append(str(p))
-        return ".".join(parts)
+    from ..parallel.sharding import _path_str as path_str
 
     def spec_for(path, leaf):
         name = path_str(path)
@@ -212,10 +203,21 @@ def cosine_schedule(num_epochs, iters_per_epoch, world_size=1, eta_min=1e-6,
     return lr_at
 
 
-def multistep_schedule(milestone_epochs, gamma=0.1, warmup_factor=1.0 / 3,
+def multistep_schedule(milestone_epochs=None, gamma=0.1, warmup_factor=1.0 / 3,
                        warmup_epochs=5, warmup_method="linear",
-                       iters_per_epoch=None, world_size=None, **_ignored):
-    """WarmupMultiStepLR (reference common/scheduler.py:9-54)."""
+                       iters_per_epoch=None, world_size=None,
+                       milestones=None, **_ignored):
+    """WarmupMultiStepLR (reference common/scheduler.py:9-54).
+
+    ``milestone_epochs`` is the reference's kwarg (passed per run, e.g.
+    ``opt.scheduler.milestone_epochs=[30,40]``); ``milestones`` is accepted
+    as a torch-style alias."""
+    if milestone_epochs is None:
+        milestone_epochs = milestones
+    if milestone_epochs is None:
+        raise ValueError(
+            "opt/scheduler=multi_step needs milestone epochs, e.g. "
+            "opt.scheduler.milestone_epochs=[30,40]")
     milestones = [iters_per_epoch * m for m in milestone_epochs]
     warmup_iters = max(warmup_epochs * iters_per_epoch, 1)
 
