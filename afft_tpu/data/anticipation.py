@@ -36,6 +36,10 @@ def convert_to_anticipation(df: pd.DataFrame,
     df.loc[:, "start"] = df.loc[:, "end"] - tau_o
 
     for i, ratio in enumerate(future_clip_ratios):
+        # -999 copies the ALREADY-REWRITTEN observed window (start/end were
+        # mutated above) — reference parity (base_video_dataset.py:60-63
+        # does the same); it equals the original clip only in recognition
+        # mode (tau_a == -999)
         if ratio == -999:
             df.loc[:, f"{FUTURE_PREFIX}_{i}_start"] = df.loc[:, "start"]
             df.loc[:, f"{FUTURE_PREFIX}_{i}_end"] = df.loc[:, "end"]

@@ -53,6 +53,10 @@ class _VideoLabelIndex:
     (replaces the per-item pandas scan, reference :431-458)."""
 
     def __init__(self, df: pd.DataFrame, label_types: Sequence[str]):
+        assert "orig_start" in df, \
+            "load_seg_labels requires conv_to_anticipate_fn (per-frame " \
+            "past labels index the ORIGINAL action extents, which only " \
+            "convert_to_anticipation records as orig_start/orig_end)"
         self.by_video = {}
         for video, vdf in df.groupby("video_path", sort=False):
             entry = {
@@ -135,6 +139,9 @@ class FeatureClipDataset:
 
         self.frames_per_clip = frames_per_clip
         self.frame_rate = frame_rate
+        assert sample_strategy in (SAMPLE_STRAT_CNTR, SAMPLE_STRAT_RAND,
+                                   SAMPLE_STRAT_FIRST, SAMPLE_STRAT_LAST), \
+            f"unknown sample_strategy {sample_strategy!r}"
         self.sample_strategy = sample_strategy
         self.label_type = ([label_type] if isinstance(label_type, str)
                            else list(label_type))
@@ -166,7 +173,11 @@ class FeatureClipDataset:
 
         self.df_before_subset = self.df
         if max_els is not None:
-            self.df = self.df.sample(n=max_els, replace=False)
+            # seeded: every process must draw the IDENTICAL subset (the
+            # sharded loaders assume one global index order), and runs must
+            # be reproducible
+            self.df = self.df.sample(n=max_els, replace=False,
+                                     random_state=random_seed)
             self.df = self.df.reset_index(drop=True)
 
         self.transforms = transforms or {}
@@ -299,8 +310,11 @@ class FeatureClipDataset:
             "fps": fps,
             "frame_ids": frame_ids,
             "frame_sec": frame_sec,
-            "video": [str(Path(v).stem) for v in self.df.video_path.values],
-            "uid": self.df.uid.values,
+            # numpy up front: load_batch gathers index these per batch
+            "video": np.asarray(
+                [str(Path(v).stem) for v in self.df.video_path.values],
+                dtype=object),
+            "uid": np.asarray(self.df.uid.values),
             "target": {
                 t: (self.df[t + "_class"].values.astype(np.int64)
                     if t + "_class" in self.df else
@@ -333,7 +347,7 @@ class FeatureClipDataset:
         collate([get_item(i) for i in indices])."""
         p = self._plan
         indices = np.asarray(indices)
-        videos = np.asarray(p["video"], dtype=object)[indices]
+        videos = p["video"][indices]
         ids = p["frame_ids"][indices]
         data = {}
         for mod, reader in self.reader_fn.items():
@@ -353,7 +367,7 @@ class FeatureClipDataset:
             "data_dict": data,
             "target": {t: p["target"][t][indices]
                        for t in self.label_type},
-            "uid": np.asarray(p["uid"])[indices],
+            "uid": p["uid"][indices],
             "idx": indices.astype(np.int64),
         }
         if self.load_seg_labels:

@@ -42,9 +42,11 @@ class BaseModel:
         }
 
     def init(self, rng):
-        params = {"future_predictor": self.future_predictor.init(rng)}
+        rng, fp_key = jax.random.split(rng)
+        params = {"future_predictor": self.future_predictor.init(fp_key)}
         for mod, bb in self.backbones.items():
-            bb_params = bb.init(rng)
+            rng, bb_key = jax.random.split(rng)
+            bb_params = bb.init(bb_key)
             if bb_params:
                 params.setdefault("backbone", {})[mod] = bb_params
         if self.class_mappings:

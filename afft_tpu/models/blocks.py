@@ -62,10 +62,13 @@ def cross_attention_apply(p, x, mem, num_heads, attn_mask=None, *,
                           attn_drop=0.0, proj_drop=0.0, train=False,
                           rng: Optional[L.RngStream] = None):
     B, N, C = x.shape
+    M = mem.shape[1]  # the reference hardcodes N here (transformerblock.py
+    # :62-63, accidental — all its call sites pass equal lengths);
+    # generalized to mem's own length, identical when M == N
     hd = C // num_heads
     q = L.linear_apply(p["w_q"], x).reshape(B, N, num_heads, hd)
-    k = L.linear_apply(p["w_k"], mem).reshape(B, N, num_heads, hd)
-    v = L.linear_apply(p["w_v"], mem).reshape(B, N, num_heads, hd)
+    k = L.linear_apply(p["w_k"], mem).reshape(B, M, num_heads, hd)
+    v = L.linear_apply(p["w_v"], mem).reshape(B, M, num_heads, hd)
     out, _ = _attention_ops.multihead_attention(
         q, k, v, mask=attn_mask, attn_drop=attn_drop, train=train, rng=rng,
         return_weights=False)
@@ -85,6 +88,9 @@ def mlp_init(rng, in_features, hidden_features):
 
 def mlp_apply(p, x, act=L.gelu_exact, drop=0.0, *, train=False,
               rng: Optional[L.RngStream] = None):
+    # single dropout AFTER fc2 only: the reference's custom MLP is
+    # Linear->GELU->Linear->Dropout (transformerblock.py:84-89), NOT
+    # timm's two-dropout variant
     x = act(L.linear_apply(p["fc1"], x))
     x = L.linear_apply(p["fc2"], x)
     return L.dropout(x, drop, train, rng)

@@ -173,6 +173,10 @@ class CMFPEarly(_CMFPBase):
     predictor are implied by early fusion (:235-242)."""
 
     def __init__(self, model_cfg, num_classes, fuser_need_weights=False):
+        # in-place cfg mutation is reference parity (future_prediction.py
+        # :235-242 sets the same flags on the SHARED OmegaConf object);
+        # callers re-using one cfg for several variants inherit them there
+        # too
         common = model_cfg["common"]
         common["share_classifiers"] = True
         common["share_predictors"] = True
