@@ -150,6 +150,7 @@ class FeatureClipDataset:
         self.noun_classes = noun_classes or {}
         self.action_classes = action_classes or {}
         self.dummy_label = dummy_label
+        self.random_seed = random_seed
         self.rng = np.random.default_rng(random_seed)
         self.frame_subclips_options = dict(frame_subclips_options or
                                            {"num_frames": 1, "stride": 1})
@@ -406,7 +407,8 @@ class FeatureClipDataset:
                 t: p["labels"][t][idx][:, None] for t in self.label_type}
         return item
 
-    def _clip_window(self, start: float, end: float, fps: float):
+    def _clip_window(self, start: float, end: float, fps: float,
+                     idx: int = 0):
         """Clip selection arithmetic (reference :225-263)."""
         start, end = max(start, 0.0), max(end, 0.0)
         req_fps = self.frame_rate if self.frame_rate is not None else fps
@@ -417,7 +419,12 @@ class FeatureClipDataset:
         if strat == SAMPLE_STRAT_RAND:
             start_frame = max(nframes - frames_to_ext, 0)
             if start_frame > 0:
-                start_frame = int(self.rng.integers(start_frame))
+                # per-item generator: loader worker THREADS call get_item
+                # concurrently, and a shared np.Generator is neither
+                # thread-safe nor schedule-independent; seeding by
+                # (dataset seed, row) is both, at equal distribution
+                g = np.random.default_rng((self.random_seed, int(idx)))
+                start_frame = int(g.integers(start_frame))
         elif strat == SAMPLE_STRAT_CNTR:
             start_frame = max((nframes - frames_to_ext) // 2, 0)
         elif strat == SAMPLE_STRAT_LAST:
@@ -467,11 +474,12 @@ class FeatureClipDataset:
             return feats[-fpc:], frame_sec[-fpc:]
         return feats[:fpc], frame_sec[:fpc]
 
-    def _sample_mod(self, mod: str, row) -> Dict[str, np.ndarray]:
+    def _sample_mod(self, mod: str, row, idx: int = 0) \
+            -> Dict[str, np.ndarray]:
         reader = self.reader_fn[mod]
         fps = reader.get_frame_rate(row["video_path"])
         new_start, new_end, req_fps = self._clip_window(
-            row["start"], row["end"], fps)
+            row["start"], row["end"], fps, idx=idx)
         feats = reader.read_window(row["video_path"], new_start, new_end, fps)
         t = len(feats)
         if new_start >= new_end:
@@ -539,7 +547,7 @@ class FeatureClipDataset:
         row = self.df.loc[idx, :]
         data, frame_sec = {}, None
         for mod in self.reader_fn:
-            s = self._sample_mod(mod, row)
+            s = self._sample_mod(mod, row, idx=idx)
             data[mod] = s["feats"]
             frame_sec = s["frame_sec"]
         item = {

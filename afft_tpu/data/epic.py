@@ -46,7 +46,9 @@ class EPICKitchens(FeatureClipDataset):
         self.version = version
         df = pd.concat([self._load_df(str(el)) for el in annotation_path])
         df = df.reset_index(drop=True)
-        self.annotation_dir = Path(annotation_dir)
+        # optional for EGTEA/version=-1 (class CSVs are not read there)
+        self.annotation_dir = Path(annotation_dir) \
+            if annotation_dir is not None else None
         self.rulstm_annotation_dir = rulstm_annotation_dir
 
         epic_postfix = "_100" if self.version == EPIC100_VERSION else ""
@@ -112,9 +114,13 @@ class EPICKitchens(FeatureClipDataset):
 
     @property
     def classes_manyshot(self) -> OrderedDict:
-        """EPIC-55 many-shot subsets (reference :108-137)."""
+        """EPIC-55 many-shot subsets (reference :108-137). Cached: the
+        value is immutable after __init__ and naive recomputation costs
+        two CSV reads plus an O(actions x many_shot) scan per access."""
         if self.version != EPIC55_VERSION:
             return super().classes_manyshot
+        if getattr(self, "_classes_manyshot_cache", None) is not None:
+            return self._classes_manyshot_cache
         many_shot_verbs = {
             el["verb"]: el["verb_class"] for el in pd.read_csv(
                 self.annotation_dir / "EPIC_many_shot_verbs.csv"
@@ -123,15 +129,18 @@ class EPICKitchens(FeatureClipDataset):
             el["noun"]: el["noun_class"] for el in pd.read_csv(
                 self.annotation_dir / "EPIC_many_shot_nouns.csv"
             ).to_dict("records")}
+        verb_ids = set(many_shot_verbs.values())
+        noun_ids = set(many_shot_nouns.values())
         many_shot_actions = {}
         action_names = {v: k for k, v in self.action_classes.items()}
         for (verb_id, noun_id), action_id in self.verb_noun_to_action.items():
-            if (verb_id in many_shot_verbs.values()
-                    or noun_id in many_shot_nouns.values()):
+            if verb_id in verb_ids or noun_id in noun_ids:
                 many_shot_actions[action_names[action_id]] = action_id
-        return OrderedDict([("verb", many_shot_verbs),
-                            ("noun", many_shot_nouns),
-                            ("action", many_shot_actions)])
+        self._classes_manyshot_cache = OrderedDict([
+            ("verb", many_shot_verbs),
+            ("noun", many_shot_nouns),
+            ("action", many_shot_actions)])
+        return self._classes_manyshot_cache
 
     # -- class/annotation files ------------------------------------------
     def _load_class_names(self, annot_path: Path) -> Dict[str, int]:

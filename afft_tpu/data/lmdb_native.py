@@ -79,7 +79,12 @@ class NativeLmdb:
         vlen = ctypes.c_size_t()
         rc = self._lib.afft_lmdb_get(self._handle, key, len(key),
                                      ctypes.byref(val), ctypes.byref(vlen))
-        if rc <= 0:
+        if rc < 0:
+            # -1 is the native reader's corruption code (bad page /
+            # unreachable overflow page) — distinct from a plain miss,
+            # which must NOT be zero-filled away by the backward search
+            raise IOError(f"corrupt LMDB entry for key {key!r}")
+        if rc == 0:
             return None
         return ctypes.string_at(val.value, vlen.value)
 

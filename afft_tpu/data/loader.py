@@ -131,7 +131,9 @@ class BatchLoader:
                                 self._epoch, self.shard_id, self.num_shards,
                                 weights=self.sample_weights)
         n_batches = len(self)
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # maxsize 0 would mean UNBOUNDED for queue.Queue; clamp so the
+        # constant-memory guarantee holds even at prefetch=0
+        out_q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = threading.Event()
 
         batch_load = getattr(self.dataset, "supports_batch_load",

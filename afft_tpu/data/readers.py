@@ -149,6 +149,12 @@ class PackedFeatureStore(FeatureStore):
             np.asarray(self.scales[rows], np.float32)[..., None]
 
     @classmethod
+    def _write_meta(cls, path, feature_dim, dtype, meta_videos):
+        (path / "meta.json").write_text(json.dumps({
+            "format": cls.MAGIC, "feature_dim": feature_dim,
+            "dtype": dtype, "videos": meta_videos}))
+
+    @classmethod
     def write(cls, path: Union[str, Path],
               videos: Dict[str, Dict[int, np.ndarray]],
               dtype: str = "float32"):
@@ -182,9 +188,7 @@ class PackedFeatureStore(FeatureStore):
         else:
             all_feats.astype(cls._dtype(dtype)).tofile(path / "features.bin")
         np.asarray(ids, np.int64).tofile(path / "frame_ids.bin")
-        (path / "meta.json").write_text(json.dumps({
-            "format": cls.MAGIC, "feature_dim": feature_dim,
-            "dtype": dtype, "videos": meta_videos}))
+        cls._write_meta(path, feature_dim, dtype, meta_videos)
         return cls(path)
 
     @classmethod
@@ -210,14 +214,15 @@ class PackedFeatureStore(FeatureStore):
                     feats = np.ascontiguousarray(feats).astype(np_dtype)
                     f_feat.write(feats.tobytes())
                 f_ids.write(np.asarray(ids, np.int64).tobytes())
+                assert video not in meta_videos, \
+                    f"duplicate video block {video!r}: blocks must be " \
+                    f"grouped per video (silent offset corruption otherwise)"
                 meta_videos[video] = {"row_offset": offset,
                                       "num_rows": len(ids)}
                 offset += len(ids)
         if dtype != "int8":
             (path / "scales.bin").unlink()
-        (path / "meta.json").write_text(json.dumps({
-            "format": cls.MAGIC, "feature_dim": feature_dim,
-            "dtype": dtype, "videos": meta_videos}))
+        cls._write_meta(path, feature_dim, dtype, meta_videos)
         return cls(path)
 
     @classmethod
@@ -251,6 +256,10 @@ class PackedFeatureStore(FeatureStore):
                         meta_videos[cur_video] = {
                             "row_offset": offset, "num_rows": cur_count}
                         offset += cur_count
+                    assert video not in meta_videos, \
+                        f"rows for video {video!r} are not contiguous: " \
+                        f"the stream must be grouped per video (offsets " \
+                        f"would silently corrupt otherwise)"
                     cur_video, cur_count = video, 0
                 f_feat.write(feat.tobytes())
                 f_ids.write(np.int64(fid).tobytes())
@@ -260,9 +269,7 @@ class PackedFeatureStore(FeatureStore):
                                           "num_rows": cur_count}
         if dtype != "int8":
             (path / "scales.bin").unlink()
-        (path / "meta.json").write_text(json.dumps({
-            "format": cls.MAGIC, "feature_dim": feature_dim,
-            "dtype": dtype, "videos": meta_videos}))
+        cls._write_meta(path, feature_dim, dtype, meta_videos)
         return cls(path)
 
     def available_frames(self, video):
@@ -399,6 +406,10 @@ class EpicRULSTMFeatsReader:
         start_frame = np.floor(start_sec * fps)
         end_frame = np.floor(end_sec * fps)
         frames = np.arange(end_frame, start_frame, -1).astype(int)[::-1]
+        if frames.size == 0:
+            raise ValueError(
+                f"window ({start_sec}, {end_sec}] covers no frame at "
+                f"fps={fps} (shorter than one frame period)")
         assert frames.max() >= 1, \
             f"observed window fully before the video start: {start_sec}-{end_sec}"
         frames[frames < 1] = frames[frames >= 1].min()

@@ -67,7 +67,9 @@ class ExperimentLogger:
     def summary(self, key: str, value):
         if self._wandb is not None and self._wandb.run is not None:
             self._wandb.run.summary[key] = value
-        with open(os.path.join(self.out_dir, "summary.json"), "a") as f:
+        # newline-delimited records: append-only across resumed runs
+        # (a .json name would become invalid JSON on the second write)
+        with open(os.path.join(self.out_dir, "summary.jsonl"), "a") as f:
             f.write(json.dumps({key: value}) + "\n")
 
 
@@ -90,7 +92,10 @@ class ProfilerHook:
         if self.trace_dir is None:
             return
         import jax
-        if step == self.start_step and not self._active:
+        if step >= self.start_step and step < self.stop_step \
+                and not self._active:
+            # >= not ==: a resumed run restores step_counter past
+            # start_step and must still honor the requested trace window
             jax.profiler.start_trace(self.trace_dir)
             self._active = True
             log.info("profiler trace started -> %s", self.trace_dir)
