@@ -424,3 +424,41 @@ def test_class_weighted_ce_ignore_index_matches_torch():
     ref = F.cross_entropy(torch.tensor(logits[:, 0]), torch.tensor(tgt),
                           weight=torch.tensor(w), ignore_index=-1)
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+
+
+def test_multistep_schedule_matches_reference():
+    """Step-by-step lr trajectory vs the reference WarmupMultiStepLR
+    (imported from /root/reference; depends only on torch)."""
+    import torch
+    sys.path.insert(0, "/root/reference")
+    try:
+        from common.scheduler import WarmupMultiStepLR
+    finally:
+        sys.path.remove("/root/reference")
+
+    iters, base_lr = 5, 0.04
+    p = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.SGD([p], lr=base_lr)
+    sched = WarmupMultiStepLR(
+        topt, milestone_epochs=[3, 6], gamma=0.1, warmup_factor=0.25,
+        warmup_epochs=2, warmup_method="linear", iters_per_epoch=iters,
+        world_size=2)
+
+    mine = O.multistep_schedule(
+        milestone_epochs=[3, 6], gamma=0.1, warmup_factor=0.25,
+        warmup_epochs=2, warmup_method="linear", iters_per_epoch=iters,
+        world_size=2)
+
+    for t in range(8 * iters):
+        torch_lr = topt.param_groups[0]["lr"]
+        np.testing.assert_allclose(mine(t, base_lr), torch_lr, rtol=1e-6,
+                                   atol=1e-9, err_msg=f"step {t}")
+        sched.step()
+
+    # the torch-style 'milestones' alias resolves to the same schedule
+    alias = O.multistep_schedule(milestones=[3, 6], gamma=0.1,
+                                 warmup_factor=0.25, warmup_epochs=2,
+                                 iters_per_epoch=iters, world_size=2)
+    assert alias(31, base_lr) == mine(31, base_lr)
+    with pytest.raises(ValueError, match="milestone"):
+        O.multistep_schedule(iters_per_epoch=iters, world_size=2)
