@@ -151,6 +151,7 @@ class FeatureClipDataset:
         self.action_classes = action_classes or {}
         self.dummy_label = dummy_label
         self.random_seed = random_seed
+        self._epoch = 0  # set_epoch folds into the random_clip window draw
         self.rng = np.random.default_rng(random_seed)
         self.frame_subclips_options = dict(frame_subclips_options or
                                            {"num_frames": 1, "stride": 1})
@@ -422,8 +423,11 @@ class FeatureClipDataset:
                 # per-item generator: loader worker THREADS call get_item
                 # concurrently, and a shared np.Generator is neither
                 # thread-safe nor schedule-independent; seeding by
-                # (dataset seed, row) is both, at equal distribution
-                g = np.random.default_rng((self.random_seed, int(idx)))
+                # (dataset seed, epoch, row) is both, at equal distribution,
+                # and the epoch component keeps the per-epoch window draw
+                # varying like the reference's per-access draw
+                g = np.random.default_rng(
+                    (self.random_seed, self._epoch, int(idx)))
                 start_frame = int(g.integers(start_frame))
         elif strat == SAMPLE_STRAT_CNTR:
             start_frame = max((nframes - frames_to_ext) // 2, 0)
@@ -541,6 +545,12 @@ class FeatureClipDataset:
                                       + np.arange(s_nf)[None]]  # (S', nf')
         return item
 
+    def set_epoch(self, epoch: int):
+        """Fold the epoch into the random_clip window draw (the reference
+        draws per access, so every epoch sees fresh windows); deterministic
+        strategies are unaffected."""
+        self._epoch = int(epoch)
+
     def get_item(self, idx: int) -> Dict:
         if self._plan is not None:
             return self._get_item_fast(idx)
@@ -590,6 +600,11 @@ class ConcatClipDataset:
 
     def __len__(self):
         return int(self._cum[-1])
+
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
 
     def get_item(self, idx: int):
         ds_i = int(np.searchsorted(self._cum, idx, side="right"))

@@ -73,8 +73,11 @@ class DeviceFeatureCache:
                     q = np.where(scale[..., None] > 0,
                                  np.rint(host / np.maximum(
                                      scale, 1e-30)[..., None]), 0.0)
+                    # scales stay fp32: they are only (N, T) next to the
+                    # (N, T, F) int8 payload, and bf16's 8-bit mantissa
+                    # would add ~0.4% multiplicative error on every feature
                     parts.append((jnp.asarray(q.astype(np.int8)),
-                                  jnp.asarray(scale, jnp.bfloat16)))
+                                  jnp.asarray(scale, jnp.float32)))
                 else:
                     parts.append(jnp.asarray(host, dtype))
             if self.quantized:
@@ -102,8 +105,11 @@ class DeviceFeatureCache:
         import jax.numpy as jnp
         if isinstance(entry, tuple):
             q, scale = entry
-            return (jnp.take(q, idx, axis=0).astype(jnp.bfloat16)
-                    * jnp.take(scale, idx, axis=0)[..., None])
+            # dequant in fp32 (exact for int8 payload x fp32 scale), then
+            # one rounding to the bf16 activation dtype
+            deq = (jnp.take(q, idx, axis=0).astype(jnp.float32)
+                   * jnp.take(scale, idx, axis=0)[..., None])
+            return deq.astype(jnp.bfloat16)
         return jnp.take(entry, idx, axis=0)
 
     def batch(self, indices: np.ndarray) -> Dict:

@@ -118,6 +118,8 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(shard_indices(len(self.dataset), False, 0, 0,

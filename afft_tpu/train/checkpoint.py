@@ -22,6 +22,12 @@ import numpy as np
 CKPT_BEST_DIRNAME = "checkpoint_best"
 CKPT_LAST_DIRNAME = "checkpoint_last"
 
+# Native-parameter layout version. v2 = heads-major qkv packing in the
+# predictor c_attn (torch_import._conv1d_qkv); checkpoints written before
+# that switch carry no version and would silently scramble q/k/v if loaded
+# into the current layout — load_checkpoint fails loudly instead.
+CKPT_FORMAT_VERSION = 2
+
 
 def _checkpointer():
     import orbax.checkpoint as ocp
@@ -41,6 +47,7 @@ def save_checkpoint(path, params, opt_state, epoch: int, step: int,
         "epoch": epoch,
         "step": step,
         "best_metric": float(best_metric),
+        "format_version": np.int64(CKPT_FORMAT_VERSION),
     }
     if schedule_state:
         payload["schedule"] = {k: np.asarray(v)
@@ -53,7 +60,17 @@ def save_checkpoint(path, params, opt_state, epoch: int, step: int,
 
 def load_checkpoint(path) -> Dict:
     ckptr = _checkpointer()
-    return ckptr.restore(Path(path).absolute())
+    ckpt = ckptr.restore(Path(path).absolute())
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        version = int(ckpt.get("format_version", 1))
+        if version != CKPT_FORMAT_VERSION:
+            raise ValueError(
+                f"Checkpoint {path} has parameter-layout version {version}, "
+                f"this build expects {CKPT_FORMAT_VERSION} (heads-major qkv "
+                "packing). Loading it would silently scramble q/k/v. "
+                "Re-import from the torch .pth, or repack the predictor "
+                "c_attn weights (see train.torch_import._conv1d_qkv).")
+    return ckpt
 
 
 def flatten_with_paths(tree, prefix=""):

@@ -3,6 +3,8 @@ multi-step rollout config."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -195,3 +197,26 @@ def test_checkpoint_carries_schedule_state(tmp_path):
                            for k, v in ckpt["schedule"].items()})
     assert fresh(1, 1.0) == 0.5  # t=1: past the (degenerate) warmup window
     assert fresh.state_dict()["best"] == 1.0
+
+
+def test_checkpoint_layout_version_guard(tmp_path):
+    """A checkpoint without the current qkv-layout version tag (i.e. written
+    before the heads-major c_attn packing) must fail loudly, not silently
+    scramble q/k/v (ADVICE r2)."""
+    import orbax.checkpoint as ocp
+    import numpy as np
+    from afft_tpu.train import checkpoint as C
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    C.save_checkpoint(tmp_path / "ck", params, {"m": np.zeros(2)},
+                      epoch=0, step=0, best_metric=0.0)
+    ckpt = C.load_checkpoint(tmp_path / "ck")
+    assert int(ckpt["format_version"]) == C.CKPT_FORMAT_VERSION
+
+    # simulate a pre-versioning checkpoint: payload with no format_version
+    legacy = {"model": params, "optimizer": {"m": np.zeros(2)},
+              "epoch": 0, "step": 0, "best_metric": 0.0}
+    ocp.PyTreeCheckpointer().save((tmp_path / "legacy").absolute(), legacy,
+                                  force=True)
+    with pytest.raises(ValueError, match="layout version"):
+        C.load_checkpoint(tmp_path / "legacy")

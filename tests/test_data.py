@@ -573,3 +573,50 @@ def test_device_cache_int8_quantization(synth_dataset):
     for m in MODS:
         q, scale = cache8.features[m]
         assert q.nbytes == cache16.features[m].nbytes // 2
+
+
+def test_random_clip_varies_per_epoch():
+    """random_clip start-frame draw must vary across epochs (the reference
+    draws per access) while staying deterministic within an epoch
+    (ADVICE r2)."""
+    from types import SimpleNamespace
+    from afft_tpu.data.dataset import FeatureClipDataset
+
+    ds = SimpleNamespace(frame_rate=1, frames_per_clip=4,
+                         sample_strategy="random_clip", random_seed=7,
+                         _epoch=0)
+    win = lambda: FeatureClipDataset._clip_window(ds, 0.0, 30.0, 30.0, idx=3)
+
+    first = win()
+    assert win() == first, "same epoch must be deterministic"
+    draws = set()
+    for ep in range(8):
+        ds._epoch = ep
+        draws.add(win())
+    assert len(draws) > 1, "window draw must vary across epochs"
+
+    # other rows draw independently within an epoch
+    ds._epoch = 0
+    other = FeatureClipDataset._clip_window(ds, 0.0, 30.0, 30.0, idx=4)
+    assert other != first or True  # no crash; distributional check below
+    per_idx = {FeatureClipDataset._clip_window(ds, 0.0, 30.0, 30.0, idx=i)
+               for i in range(16)}
+    assert len(per_idx) > 1
+
+
+def test_loader_set_epoch_reaches_dataset():
+    from afft_tpu.data.loader import BatchLoader
+
+    class Spy:
+        epoch = None
+
+        def __len__(self):
+            return 4
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+    spy = Spy()
+    loader = BatchLoader(spy, batch_size=2)
+    loader.set_epoch(5)
+    assert spy.epoch == 5

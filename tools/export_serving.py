@@ -103,9 +103,17 @@ def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
         "num_classes": {k: int(v) for k, v in num_classes.items()},
         "platforms": list(exp.platforms),
         "jax_version": jax.__version__,
+        # provenance: which weights were baked in (a bundle exported without
+        # --ckpt serves RANDOM-INIT params — make that auditable after the
+        # fact instead of indistinguishable from a real deployment artifact)
+        "ckpt_paths": [str(p) for p in ckpt_paths] if ckpt_paths
+        else "RANDOM-INIT (no checkpoint; not a deployment artifact)",
     }
     with open(os.path.join(out_dir, BUNDLE_META), "w") as f:
         json.dump(meta, f, indent=1)
+    if not ckpt_paths:
+        log("WARNING: exported WITHOUT a checkpoint — the bundle serves "
+            "randomly initialized params (meta.json marks it RANDOM-INIT)")
     log(f"serving bundle -> {out_dir} (platforms {meta['platforms']}, "
         f"B={batch} T={n_frames} dims={modal_dims})")
     return out_dir
