@@ -43,8 +43,15 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t)]
     lib.afft_lmdb_cursor_close.argtypes = [ctypes.c_void_p]
+    lib.afft_lmdb_last_error.restype = ctypes.c_char_p
+    lib.afft_lmdb_last_error.argtypes = []
     _lib = lib
     return lib
+
+
+def _last_error(lib) -> str:
+    msg = lib.afft_lmdb_last_error()
+    return msg.decode("utf-8", "replace") if msg else "unknown error"
 
 
 class _Txn:
@@ -69,7 +76,8 @@ class NativeLmdb:
         self._lib = lib
         self._handle = lib.afft_lmdb_open(str(path).encode())
         if not self._handle:
-            raise IOError(f"cannot open LMDB environment at {path}")
+            raise IOError(f"cannot open LMDB environment at {path}: "
+                          f"{_last_error(lib)}")
 
     def begin(self) -> _Txn:
         return _Txn(self)
@@ -83,7 +91,8 @@ class NativeLmdb:
             # -1 is the native reader's corruption code (bad page /
             # unreachable overflow page) — distinct from a plain miss,
             # which must NOT be zero-filled away by the backward search
-            raise IOError(f"corrupt LMDB entry for key {key!r}")
+            raise IOError(f"corrupt LMDB entry for key {key!r}: "
+                          f"{_last_error(self._lib)}")
         if rc == 0:
             return None
         return ctypes.string_at(val.value, vlen.value)
@@ -99,9 +108,15 @@ class NativeLmdb:
         key, klen = ctypes.c_void_p(), ctypes.c_size_t()
         val, vlen = ctypes.c_void_p(), ctypes.c_size_t()
         try:
-            while lib.afft_lmdb_cursor_next(
+            while True:
+                rc = lib.afft_lmdb_cursor_next(
                     cur, ctypes.byref(key), ctypes.byref(klen),
-                    ctypes.byref(val), ctypes.byref(vlen)):
+                    ctypes.byref(val), ctypes.byref(vlen))
+                if rc < 0:
+                    raise IOError("corrupt LMDB environment during scan: "
+                                  f"{_last_error(lib)}")
+                if rc == 0:
+                    return
                 yield (ctypes.string_at(key.value, klen.value),
                        ctypes.string_at(val.value, vlen.value))
         finally:

@@ -17,6 +17,7 @@
 //  - F_BIGDATA leaves store an 8-byte overflow pgno after the key; overflow
 //    pages hold the value contiguously after one 16-byte header.
 
+#include <cstdarg>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -30,11 +31,34 @@
 namespace {
 
 constexpr uint32_t kMagic = 0xBEEFC0DE;
+constexpr uint32_t kMagicSwapped = 0xDEC0EFBE;  // big-endian-written file
+constexpr uint32_t kDataVersion = 1;            // liblmdb MDB_DATA_VERSION
 constexpr uint16_t kPageBranch = 0x01;
 constexpr uint16_t kPageLeaf = 0x02;
 constexpr uint16_t kPageOverflow = 0x04;
+constexpr uint16_t kPageLeaf2 = 0x20;  // MDB_DUPFIXED sub-page layout
 constexpr uint16_t kNodeBigData = 0x01;
+constexpr uint16_t kNodeSubData = 0x02;  // named sub-database entry
+constexpr uint16_t kNodeDupData = 0x04;  // MDB_DUPSORT duplicate blob
 constexpr size_t kPageHdrSize = 16;
+
+// main-DB flags we cannot serve: each changes key comparison or value
+// layout, so misparsing is guaranteed rather than merely possible
+constexpr uint16_t kDbReverseKey = 0x02;
+constexpr uint16_t kDbDupSort = 0x04;
+constexpr uint16_t kDbIntegerKey = 0x08;
+constexpr uint16_t kDbDupFixed = 0x10;
+constexpr uint16_t kDbIntegerDup = 0x20;
+constexpr uint16_t kDbReverseDup = 0x40;
+
+thread_local char g_err[512] = "";
+
+void set_err(const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  vsnprintf(g_err, sizeof(g_err), fmt, ap);
+  va_end(ap);
+}
 
 struct Db {  // MDB_db, 48 bytes
   uint32_t pad;
@@ -106,20 +130,29 @@ int cmp_keys(const uint8_t* a, size_t alen, const uint8_t* b, size_t blen) {
 
 extern "C" {
 
+const char* afft_lmdb_last_error() { return g_err; }
+
 void* afft_lmdb_open(const char* path) {
+  g_err[0] = '\0';
   std::string fname = std::string(path);
   struct stat st;
   if (stat(fname.c_str(), &st) == 0 && S_ISDIR(st.st_mode)) {
     fname += "/data.mdb";
   }
   int fd = open(fname.c_str(), O_RDONLY);
-  if (fd < 0) return nullptr;
-  if (fstat(fd, &st) != 0 || st.st_size < (off_t)(2 * 4096)) {
+  if (fd < 0) {
+    set_err("cannot open %s", fname.c_str());
+    return nullptr;
+  }
+  if (fstat(fd, &st) != 0 || st.st_size < (off_t)(2 * 512)) {
+    set_err("%s: too small for an LMDB environment (%lld bytes; need two "
+            "meta pages)", fname.c_str(), (long long)st.st_size);
     close(fd);
     return nullptr;
   }
   void* map = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
   if (map == MAP_FAILED) {
+    set_err("%s: mmap failed", fname.c_str());
     close(fd);
     return nullptr;
   }
@@ -128,21 +161,72 @@ void* afft_lmdb_open(const char* path) {
   env->size = st.st_size;
   env->fd = fd;
 
-  // meta candidate on page 0 carries the page size; validate both metas
-  const Meta* m0 = reinterpret_cast<const Meta*>(env->map + kPageHdrSize);
-  if (m0->magic != kMagic) {
+  auto fail = [&](void) -> void* {
     delete env;
     munmap(map, st.st_size);
     close(fd);
     return nullptr;
+  };
+
+  // meta candidate on page 0 carries the page size; validate both metas
+  const Meta* m0 = reinterpret_cast<const Meta*>(env->map + kPageHdrSize);
+  if (m0->magic == kMagicSwapped) {
+    set_err("%s: byte-swapped LMDB magic — file was written on a "
+            "big-endian host; this reader only parses little-endian "
+            "environments", fname.c_str());
+    return fail();
+  }
+  if (m0->magic != kMagic) {
+    set_err("%s: bad LMDB magic 0x%08X on meta page 0 (expected 0x%08X); "
+            "not an LMDB data file or corrupt", fname.c_str(), m0->magic,
+            kMagic);
+    return fail();
+  }
+  if (m0->version != kDataVersion) {
+    set_err("%s: LMDB data-format version %u; this reader implements "
+            "version %u (liblmdb 0.9.x). Refusing to guess at layout "
+            "differences.", fname.c_str(), m0->version, kDataVersion);
+    return fail();
   }
   env->psize = m0->dbs[0].pad;
-  if (env->psize < 512 || env->psize > (1u << 16)) env->psize = 4096;
+  if (env->psize < 512 || env->psize > (1u << 16) ||
+      (env->psize & (env->psize - 1)) != 0) {
+    set_err("%s: implausible page size %zu in meta (expect power of two in "
+            "[512, 65536]); corrupt meta page", fname.c_str(), env->psize);
+    return fail();
+  }
+  if ((size_t)st.st_size < 2 * env->psize) {
+    set_err("%s: file smaller than two %zu-byte meta pages", fname.c_str(),
+            env->psize);
+    return fail();
+  }
   const Meta* m1 =
       reinterpret_cast<const Meta*>(env->map + env->psize + kPageHdrSize);
-  const Meta* live = (m1->magic == kMagic && m1->txnid > m0->txnid) ? m1 : m0;
+  bool m1_ok = m1->magic == kMagic && m1->version == kDataVersion;
+  const Meta* live = (m1_ok && m1->txnid > m0->txnid) ? m1 : m0;
+  uint16_t dbflags = live->dbs[1].flags;
+  uint16_t bad = dbflags & (kDbReverseKey | kDbDupSort | kDbIntegerKey |
+                            kDbDupFixed | kDbIntegerDup | kDbReverseDup);
+  if (bad) {
+    set_err("%s: main DB uses unsupported flags 0x%04X (%s%s%s%s%s%s); "
+            "this reader only serves default-comparator non-DUPSORT "
+            "environments like the RULSTM feature stores",
+            fname.c_str(), dbflags,
+            (bad & kDbReverseKey) ? "MDB_REVERSEKEY " : "",
+            (bad & kDbDupSort) ? "MDB_DUPSORT " : "",
+            (bad & kDbIntegerKey) ? "MDB_INTEGERKEY " : "",
+            (bad & kDbDupFixed) ? "MDB_DUPFIXED " : "",
+            (bad & kDbIntegerDup) ? "MDB_INTEGERDUP " : "",
+            (bad & kDbReverseDup) ? "MDB_REVERSEDUP " : "");
+    return fail();
+  }
   env->root = live->dbs[1].root;
   env->entries = live->dbs[1].entries;
+  if (env->root != ~0ull && env->root * env->psize >= (size_t)st.st_size) {
+    set_err("%s: main DB root page %llu beyond end of file", fname.c_str(),
+            (unsigned long long)env->root);
+    return fail();
+  }
   return env;
 }
 
@@ -158,14 +242,87 @@ uint64_t afft_lmdb_entries(void* handle) {
   return static_cast<Env*>(handle)->entries;
 }
 
+namespace {
+
+// Shared leaf-node value extraction with layout validation. Returns 1 on
+// success, -1 (with g_err set) on any unsupported/corrupt layout.
+int leaf_value(const Env* env, const uint8_t* node, const uint8_t** val,
+               size_t* vlen) {
+  uint16_t nf = node_flags(node);
+  if (nf & kNodeSubData) {
+    set_err("leaf node is a named sub-database entry (F_SUBDATA); this "
+            "reader serves the main DB only — open the sub-database with "
+            "real liblmdb");
+    return -1;
+  }
+  if (nf & kNodeDupData) {
+    set_err("leaf node carries MDB_DUPSORT duplicate data (F_DUPDATA); "
+            "unsupported layout");
+    return -1;
+  }
+  size_t dsize = leaf_data_size(node);
+  if (nf & kNodeBigData) {
+    uint64_t opg = rd64(node_key(node) + node_ksize(node));
+    const uint8_t* ov = page(env, opg);
+    if (!ov) {
+      set_err("overflow page %llu beyond end of file",
+              (unsigned long long)opg);
+      return -1;
+    }
+    if (!(page_flags(ov) & kPageOverflow)) {
+      set_err("page %llu referenced as overflow has flags 0x%04X "
+              "(not P_OVERFLOW); corrupt tree", (unsigned long long)opg,
+              page_flags(ov));
+      return -1;
+    }
+    if (opg * env->psize + kPageHdrSize + dsize > env->size) {
+      set_err("overflow value (%zu bytes at page %llu) extends beyond end "
+              "of file", dsize, (unsigned long long)opg);
+      return -1;
+    }
+    *val = ov + kPageHdrSize;
+  } else {
+    if ((size_t)(node - env->map) + 8 + node_ksize(node) + dsize >
+        env->size) {
+      set_err("inline value extends beyond end of file; corrupt node");
+      return -1;
+    }
+    *val = node_key(node) + node_ksize(node);
+  }
+  *vlen = dsize;
+  return 1;
+}
+
+// Page sanity shared by point reads and cursor scans.
+bool check_node_page(const Env* env, const uint8_t* pg) {
+  uint16_t flags = page_flags(pg);
+  if (flags & kPageLeaf2) {
+    set_err("P_LEAF2 page (MDB_DUPFIXED fixed-size layout); unsupported");
+    return false;
+  }
+  uint16_t lower = rd16(pg + 12);
+  if (lower < kPageHdrSize || lower > env->psize) {
+    set_err("page ptr-array bound %u outside [%zu, %zu]; corrupt page "
+            "header", lower, kPageHdrSize, env->psize);
+    return false;
+  }
+  return true;
+}
+
+}  // namespace
+
 // Returns 1 and sets (*val, *vlen) on hit; 0 on miss; -1 on corruption.
 int afft_lmdb_get(void* handle, const uint8_t* key, size_t klen,
                   const uint8_t** val, size_t* vlen) {
   auto* env = static_cast<Env*>(handle);
   if (env->root == ~0ull) return 0;  // empty db
   const uint8_t* pg = page(env, env->root);
-  if (!pg) return -1;
+  if (!pg) {
+    set_err("root page beyond end of file");
+    return -1;
+  }
   for (int depth = 0; depth < 64; ++depth) {
+    if (!check_node_page(env, pg)) return -1;
     uint16_t flags = page_flags(pg);
     size_t n = num_keys(pg);
     if (flags & kPageBranch) {
@@ -179,7 +336,10 @@ int afft_lmdb_get(void* handle, const uint8_t* key, size_t klen,
       }
       child = lo - 1;
       pg = page(env, branch_pgno(node_at(pg, child)));
-      if (!pg) return -1;
+      if (!pg) {
+        set_err("branch child page beyond end of file");
+        return -1;
+      }
       continue;
     }
     if (flags & kPageLeaf) {
@@ -188,25 +348,16 @@ int afft_lmdb_get(void* handle, const uint8_t* key, size_t klen,
         size_t mid = (lo + hi) / 2;
         const uint8_t* node = node_at(pg, mid);
         int c = cmp_keys(key, klen, node_key(node), node_ksize(node));
-        if (c == 0) {
-          size_t dsize = leaf_data_size(node);
-          if (node_flags(node) & kNodeBigData) {
-            uint64_t opg = rd64(node_key(node) + node_ksize(node));
-            const uint8_t* ov = page(env, opg);
-            if (!ov) return -1;
-            *val = ov + kPageHdrSize;
-          } else {
-            *val = node_key(node) + node_ksize(node);
-          }
-          *vlen = dsize;
-          return 1;
-        }
+        if (c == 0) return leaf_value(env, node, val, vlen);
         if (c < 0) hi = mid; else lo = mid + 1;
       }
       return 0;
     }
-    return -1;  // unexpected page type
+    set_err("unexpected page flags 0x%04X in tree walk (neither branch nor "
+            "leaf)", flags);
+    return -1;
   }
+  set_err("B+tree deeper than 64 levels; cyclic page references");
   return -1;
 }
 
@@ -243,12 +394,15 @@ void* afft_lmdb_cursor_open(void* handle) {
   return cur;
 }
 
+// Returns 1 with (key, val) on success, 0 at end of iteration, -1 (error
+// text via afft_lmdb_last_error) on corrupt/unsupported layout.
 int afft_lmdb_cursor_next(void* handle, const uint8_t** key, size_t* klen,
                           const uint8_t** val, size_t* vlen) {
   auto* cur = static_cast<Cursor*>(handle);
   if (cur->done) return 0;
   Env* env = cur->env;
   const uint8_t* pg = page(env, cur->pgnos[cur->depth]);
+  if (!check_node_page(env, pg)) { cur->done = true; return -1; }
   size_t i = cur->idxs[cur->depth];
   if (i >= num_keys(pg)) {
     // pop until we can advance a branch index
@@ -263,7 +417,12 @@ int afft_lmdb_cursor_next(void* handle, const uint8_t** key, size_t* klen,
         // descend leftmost
         while (true) {
           const uint8_t* child = page(env, pgno);
-          if (!child) { cur->done = true; return 0; }
+          if (!child) {
+            set_err("cursor: child page beyond end of file");
+            cur->done = true;
+            return -1;
+          }
+          if (!check_node_page(env, child)) { cur->done = true; return -1; }
           cur->depth += 1;
           cur->pgnos[cur->depth] = pgno;
           cur->idxs[cur->depth] = 0;
@@ -279,16 +438,8 @@ int afft_lmdb_cursor_next(void* handle, const uint8_t** key, size_t* klen,
   const uint8_t* node = node_at(pg, i);
   *key = node_key(node);
   *klen = node_ksize(node);
-  size_t dsize = leaf_data_size(node);
-  if (node_flags(node) & kNodeBigData) {
-    uint64_t opg = rd64(node_key(node) + node_ksize(node));
-    const uint8_t* ov = page(env, opg);
-    if (!ov) { cur->done = true; return 0; }
-    *val = ov + kPageHdrSize;
-  } else {
-    *val = node_key(node) + node_ksize(node);
-  }
-  *vlen = dsize;
+  int rc = leaf_value(env, node, val, vlen);
+  if (rc < 0) { cur->done = true; return -1; }
   cur->idxs[cur->depth] = i + 1;
   return 1;
 }

@@ -109,3 +109,185 @@ def test_pack_then_read_equivalence(lmdb_env, native_lib, tmp_path):
         req = np.arange(1, 120)
         np.testing.assert_array_equal(packed.get_frames(vid, req),
                                       direct.get_frames(vid, req))
+
+
+# ---------------------------------------------------------------------------
+# Format hardening: unsupported liblmdb variants must be REJECTED with a
+# diagnostic, not misparsed (VERDICT r2 next #2). Ground truth from real
+# liblmdb is environment-blocked: no `lmdb` wheel (no network), and a full
+# scan of every shared object in the image found no exported mdb_* symbols
+# (TF's LMDBDataset op is a stub that raises "LMDB support is removed").
+# These tests instead assert the documented failure modes byte-for-byte.
+# ---------------------------------------------------------------------------
+
+PSIZE = 4096
+PAGE_HDR = 16
+META_MAGIC_OFF = PAGE_HDR + 0      # u32
+META_VERSION_OFF = PAGE_HDR + 4    # u32
+META_PSIZE_OFF = PAGE_HDR + 24     # dbs[0].pad (u32)
+META_MAINDB_OFF = PAGE_HDR + 24 + 48  # dbs[1]
+META_MAINDB_FLAGS_OFF = META_MAINDB_OFF + 4  # u16
+META_MAINDB_ROOT_OFF = META_MAINDB_OFF + 40  # u64
+
+
+@pytest.fixture()
+def patchable_env(tmp_path, native_lib):
+    from make_lmdb_fixture import write_lmdb
+    pairs = [(f"key{i:06d}".encode(), (b"x" * (20 + i % 64)))
+             for i in range(300)]
+    # one big value to create an overflow page
+    pairs.append((b"zzz_big", b"B" * 10000))
+    path = tmp_path / "env"
+    write_lmdb(path, pairs)
+    return path, dict(pairs)
+
+
+def _patch(path, offset, data):
+    import struct
+    f = os.path.join(path, "data.mdb")
+    raw = bytearray(open(f, "rb").read())
+    if isinstance(data, int):
+        data = struct.pack("<I", data)
+    # patch BOTH meta pages when offset is in a meta page (live = max txnid)
+    raw[offset:offset + len(data)] = data
+    if offset < 2 * PSIZE:
+        off2 = offset % PSIZE + (PSIZE if offset < PSIZE else 0)
+        raw[off2:off2 + len(data)] = data
+    open(f, "wb").write(raw)
+
+
+@pytest.mark.parametrize("offset,value,needle", [
+    (META_MAGIC_OFF, 0x12345678, "magic"),
+    (META_MAGIC_OFF, 0xDEC0EFBE, "big-endian"),
+    (META_VERSION_OFF, 999, "version 999"),
+    (META_PSIZE_OFF, 3000, "page size"),
+])
+def test_reject_bad_meta(patchable_env, native_lib, offset, value, needle):
+    path, _ = patchable_env
+    _patch(path, offset, value)
+    with pytest.raises(IOError, match=needle):
+        native_lib.NativeLmdb(str(path))
+
+
+@pytest.mark.parametrize("flag,name", [
+    (0x04, "MDB_DUPSORT"),
+    (0x02, "MDB_REVERSEKEY"),
+    (0x08, "MDB_INTEGERKEY"),
+])
+def test_reject_unsupported_db_flags(patchable_env, native_lib, flag, name):
+    import struct
+    path, _ = patchable_env
+    _patch(path, META_MAINDB_FLAGS_OFF, struct.pack("<H", flag))
+    with pytest.raises(IOError, match=name):
+        native_lib.NativeLmdb(str(path))
+
+
+def _find_page(path, flags_wanted):
+    """Return (pgno, raw) of the first non-meta page with the given type."""
+    import struct
+    raw = open(os.path.join(path, "data.mdb"), "rb").read()
+    for pgno in range(2, len(raw) // PSIZE):
+        flags = struct.unpack_from("<H", raw, pgno * PSIZE + 10)[0]
+        if flags == flags_wanted:
+            return pgno
+    raise AssertionError(f"no page with flags {flags_wanted}")
+
+
+def test_reject_subdatabase_node(patchable_env, native_lib):
+    """A leaf node flagged F_SUBDATA must raise, not hand back the MDB_db
+    struct bytes as if they were a feature vector."""
+    import struct
+    path, kv = patchable_env
+    leaf = _find_page(path, 0x02)
+    f = os.path.join(path, "data.mdb")
+    raw = bytearray(open(f, "rb").read())
+    # first node on the leaf: offset of node 0 from the page ptr array
+    node_off = struct.unpack_from("<H", raw, leaf * PSIZE + PAGE_HDR)[0]
+    # node flags u16 at node+4 -> F_SUBDATA (0x02)
+    struct.pack_into("<H", raw, leaf * PSIZE + node_off + 4, 0x02)
+    open(f, "wb").write(raw)
+
+    env = native_lib.NativeLmdb(str(path))
+    first_key = sorted(kv)[0]
+    with pytest.raises(IOError, match="sub-database"):
+        env.get(first_key.encode() if isinstance(first_key, str)
+                else first_key)
+    with pytest.raises(IOError, match="sub-database"):
+        list(env.items())
+
+
+def test_reject_leaf2_page(patchable_env, native_lib):
+    import struct
+    path, kv = patchable_env
+    leaf = _find_page(path, 0x02)
+    _patch(path, leaf * PSIZE + 10, struct.pack("<H", 0x02 | 0x20))
+    env = native_lib.NativeLmdb(str(path))
+    with pytest.raises(IOError, match="LEAF2"):
+        for k in sorted(kv):
+            env.get(k if isinstance(k, bytes) else k.encode())
+
+
+def test_reject_out_of_range_overflow(patchable_env, native_lib):
+    """The F_BIGDATA leaf's overflow pgno pointed beyond EOF must raise."""
+    import struct
+    path, kv = patchable_env
+    f = os.path.join(path, "data.mdb")
+    raw = bytearray(open(f, "rb").read())
+    # find the leaf node with F_BIGDATA (key zzz_big) and stomp its pgno
+    found = False
+    for pgno in range(2, len(raw) // PSIZE):
+        pflags = struct.unpack_from("<H", raw, pgno * PSIZE + 10)[0]
+        if pflags != 0x02:
+            continue
+        lower = struct.unpack_from("<H", raw, pgno * PSIZE + 12)[0]
+        nkeys = (lower - PAGE_HDR) // 2
+        for i in range(nkeys):
+            node_off = struct.unpack_from(
+                "<H", raw, pgno * PSIZE + PAGE_HDR + 2 * i)[0]
+            base = pgno * PSIZE + node_off
+            nflags = struct.unpack_from("<H", raw, base + 4)[0]
+            if nflags & 0x01:  # F_BIGDATA
+                ksize = struct.unpack_from("<H", raw, base + 6)[0]
+                struct.pack_into("<Q", raw, base + 8 + ksize, 10 ** 9)
+                found = True
+    assert found, "fixture should contain an overflow value"
+    open(f, "wb").write(raw)
+    env = native_lib.NativeLmdb(str(path))
+    with pytest.raises(IOError, match="overflow"):
+        env.get(b"zzz_big")
+
+
+def test_corruption_fuzz_never_crashes(patchable_env, native_lib):
+    """Random byte corruption: every open/get/scan either succeeds, misses,
+    or raises IOError — never segfaults or returns out-of-bounds memory."""
+    import random
+    path, kv = patchable_env
+    f = os.path.join(path, "data.mdb")
+    pristine = open(f, "rb").read()
+    keys = sorted(kv)
+    rng = random.Random(1234)
+    for trial in range(40):
+        raw = bytearray(pristine)
+        for _ in range(rng.randint(1, 8)):
+            raw[rng.randrange(len(raw))] = rng.randrange(256)
+        open(f, "wb").write(raw)
+        try:
+            env = native_lib.NativeLmdb(str(path))
+            for k in keys[:: max(1, len(keys) // 10)]:
+                kb = k if isinstance(k, bytes) else k.encode()
+                try:
+                    env.get(kb)
+                except IOError:
+                    pass
+            try:
+                n = 0
+                for _ in env.items():
+                    n += 1
+                    if n > len(keys) * 2:
+                        break  # corrupt trees may duplicate; bound the scan
+            except IOError:
+                pass
+            env.close()
+        except IOError:
+            continue
+    open(f, "wb").write(pristine)
