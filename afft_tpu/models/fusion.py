@@ -65,6 +65,29 @@ class _BlockStack:
     def apply(self, params, x, attn_mask=None, *, train=False, rng=None,
               need_weights=True):
         from ..ops import pallas_block as PB
+        from ..ops import pallas_block_train as PBT
+        if (train and not need_weights and
+                PBT.use_fused_train_block(x, self.dim, self.num_heads,
+                                          int(self.dim * self.mlp_ratio),
+                                          rng)):
+            # training fast path: one Pallas kernel per block with in-kernel
+            # PRNG dropout/drop-path and a custom VJP whose backward is two
+            # Pallas kernels (recompute-from-residual). Masks are a pure
+            # function of the seeds drawn here, so the step stays
+            # deterministic under jax.random semantics.
+            seeds = jax.random.randint(rng.next(), (2,), 0, 2 ** 31 - 1,
+                                       dtype=jnp.int32)
+            x = jnp.transpose(x, (1, 0, 2))
+            for bi, (blk_p, dp) in enumerate(zip(params["blocks"],
+                                                 self.dpr)):
+                x = PBT.fused_block_train(
+                    x, blk_p, attn_mask, seeds, num_heads=self.num_heads,
+                    block_idx=bi, attn_rate=self.attn_drop_rate,
+                    drop_rate=self.drop_rate, dp_rate=dp,
+                    eps=self.norm_eps)
+            x = jnp.transpose(x, (1, 0, 2))
+            x = L.layernorm_apply(params["norm"], x, self.norm_eps)
+            return x, [None] * self.depth
         if (not need_weights and not train and
                 PB.use_fused_block(x, self.dim, self.num_heads,
                                    int(self.dim * self.mlp_ratio))):

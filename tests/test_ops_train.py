@@ -1,0 +1,147 @@
+"""Training-path fused block: custom VJP math validated on CPU (interpret
+mode). The PRNG draws are zeros under the interpreter, which makes every
+mask keep-all (scaled 1/keep) — that still exercises every scale factor and
+the full backward graph; hardware tests (tools/tpu_smoke.py) validate the
+real mask statistics and the mask-replay equality on TPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from afft_tpu.models import blocks as B
+from afft_tpu.ops import pallas_block_train as PBT
+
+N, C, H, R = 3, 128, 1, 16
+BLOCK_R = 8
+MLP_HIDDEN = int(C * 4.0)
+RATES = dict(attn_rate=0.1, drop_rate=0.2, dp_rate=0.05)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = jax.random.key(0)
+    params = B.block_init(rng, C, H, mlp_ratio=4.0, qkv_bias=False)
+    x = jax.random.normal(jax.random.key(1), (N, R, C), jnp.float32)
+    seeds = jnp.asarray([1234, 567], jnp.int32)
+    return params, x, seeds
+
+
+def _fused(x, params, seeds, **rates):
+    return PBT.fused_block_train(
+        x, params, None, seeds, num_heads=H, block_idx=2, eps=1e-6,
+        block_r=BLOCK_R, interpret=True, **rates)
+
+
+def _reference(x, params, masks_list):
+    """Tile-by-tile pure-JAX oracle over the same per-tile masks."""
+    outs = []
+    G = x.shape[1] // BLOCK_R
+    for g in range(G):
+        tile = x[:, g * BLOCK_R:(g + 1) * BLOCK_R, :]
+        masks = tuple(m[g:g + 1] for m in masks_list)
+        outs.append(PBT.block_reference_with_masks(
+            tile, params, jnp.zeros((N, N), jnp.float32), masks,
+            num_heads=H, eps=1e-6))
+    return jnp.concatenate(outs, axis=1)
+
+
+def test_forward_matches_masked_reference(setup):
+    params, x, seeds = setup
+    out = _fused(x, params, seeds, **RATES)
+    masks = PBT.draw_masks(R, N, C, H, seeds, 2, RATES["attn_rate"],
+                           RATES["drop_rate"], RATES["dp_rate"],
+                           block_r=BLOCK_R, interpret=True)
+    ref = _reference(x, params, masks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_vjp_matches_masked_reference_grads(setup):
+    params, x, seeds = setup
+    masks = PBT.draw_masks(R, N, C, H, seeds, 2, RATES["attn_rate"],
+                           RATES["drop_rate"], RATES["dp_rate"],
+                           block_r=BLOCK_R, interpret=True)
+    cot = jax.random.normal(jax.random.key(3), (N, R, C), jnp.float32)
+
+    def loss_fused(x, p):
+        return jnp.sum(_fused(x, p, seeds, **RATES) * cot)
+
+    def loss_ref(x, p):
+        return jnp.sum(_reference(x, p, masks) * cot)
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=5e-4, atol=5e-5)
+    flat_f = jax.tree.leaves_with_path(gp_f)
+    flat_r = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree.leaves_with_path(gp_r)}
+    assert flat_f, "no parameter grads"
+    for key, gf in flat_f:
+        key = jax.tree_util.keystr(key)
+        gr = flat_r[key]
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=5e-4, atol=5e-4,
+            err_msg=f"param grad mismatch at {key}")
+
+
+def test_zero_rates_match_xla_block(setup):
+    """With all rates 0 the fused train block IS the plain block: forward
+    and grads must match the production XLA path (train=False) at fp32."""
+    params, x, seeds = setup
+    x_rows = jnp.transpose(x, (1, 0, 2))  # XLA path is rows-major (R, N, C)
+
+    def loss_fused(x, p):
+        out = _fused(x, p, seeds, attn_rate=0.0, drop_rate=0.0, dp_rate=0.0)
+        return jnp.sum(out ** 2)
+
+    def loss_xla(xr, p):
+        out, _ = B.block_apply(p, xr, H, None, train=False,
+                               norm_eps=1e-6, need_weights=False)
+        return jnp.sum(out ** 2)
+
+    f_val, (gx_f, gp_f) = jax.value_and_grad(
+        loss_fused, argnums=(0, 1))(x, params)
+    x_val, (gx_x, gp_x) = jax.value_and_grad(
+        loss_xla, argnums=(0, 1))(x_rows, params)
+    np.testing.assert_allclose(float(f_val), float(x_val), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(gx_f, (1, 0, 2))),
+                               np.asarray(gx_x), rtol=1e-4, atol=1e-5)
+    for (k, gf), (_, gx) in zip(
+            sorted(jax.tree.leaves_with_path(gp_f),
+                   key=lambda t: jax.tree_util.keystr(t[0])),
+            sorted(jax.tree.leaves_with_path(gp_x),
+                   key=lambda t: jax.tree_util.keystr(t[0]))):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=1e-4, atol=1e-4,
+            err_msg=f"vs XLA at {jax.tree_util.keystr(k)}")
+
+
+def test_dropout_scales_survive(setup):
+    """Interpret-mode masks are keep-all, so the fused output must equal the
+    zero-rate output scaled by the 1/keep factors applied at each site —
+    a direct check that the scale plumbing reaches every site."""
+    params, x, seeds = setup
+    # only drop-path active: out = x + (1/keep)*branch1 + (1/keep)*branch2
+    out_dp = _fused(x, params, seeds, attn_rate=0.0, drop_rate=0.0,
+                    dp_rate=0.5)
+    out_0 = _fused(x, params, seeds, attn_rate=0.0, drop_rate=0.0,
+                   dp_rate=0.0)
+    # reconstruct: with keep-all masks, branch sums scale linearly only for
+    # the MLP branch if attention branch unscaled — instead check the
+    # difference structure: out_dp - x == 2 * (out_mid-dependent terms)?
+    # Simplest invariant: out_dp != out_0 and the attention branch scale is
+    # exactly 2 when the MLP is disabled by zeroed weights.
+    p0 = jax.tree.map(lambda v: v, params)
+    p0["mlp"]["fc2"]["w"] = jnp.zeros_like(p0["mlp"]["fc2"]["w"])
+    p0["mlp"]["fc2"]["b"] = jnp.zeros_like(p0["mlp"]["fc2"]["b"])
+    a_dp = _fused(x, p0, seeds, attn_rate=0.0, drop_rate=0.0, dp_rate=0.5)
+    a_0 = _fused(x, p0, seeds, attn_rate=0.0, drop_rate=0.0, dp_rate=0.0)
+    np.testing.assert_allclose(np.asarray(a_dp - x),
+                               np.asarray(2.0 * (a_0 - x)),
+                               rtol=1e-4, atol=1e-5)
+    assert not np.allclose(np.asarray(out_dp), np.asarray(out_0))
