@@ -95,16 +95,23 @@ def check_fwd():
     import jax
     import jax.numpy as jnp
     from afft_tpu.ops import pallas_block_train as PBT
+    from contextlib import nullcontext
     for dt, tol in [(jnp.bfloat16, 3e-2), (jnp.float32, 1e-4)]:
         br = PBT.default_train_block_r(dt)
         R = 2 * br
         p, x, seeds = _setup(dt, R)
-        out = jax.jit(lambda x, p: PBT.fused_block_train(
-            x, p, None, seeds, num_heads=H, block_idx=3,
-            **_rate_args()))(x, p)
-        masks = PBT.draw_masks(R, N, C, H, seeds, 3, **_rate_args(),
-                               block_r=br)
-        ref = _reference(x, p, masks, br)
+        # fp32 under 'highest' so both sides run true-fp32 matmuls (with
+        # ambient default, TPU fp32 dots are bf16 passes with different
+        # pass structure in Mosaic vs XLA)
+        prec = jax.default_matmul_precision("highest") \
+            if dt == jnp.float32 else nullcontext()
+        with prec:
+            out = jax.jit(lambda x, p: PBT.fused_block_train(
+                x, p, None, seeds, num_heads=H, block_idx=3,
+                **_rate_args()))(x, p)
+            masks = PBT.draw_masks(R, N, C, H, seeds, 3, **_rate_args(),
+                                   block_r=br)
+            ref = _reference(x, p, masks, br)
         err = float(jnp.abs(out.astype(jnp.float32)
                             - ref.astype(jnp.float32)).max())
         scale = float(jnp.abs(ref.astype(jnp.float32)).max())
@@ -136,8 +143,12 @@ def check_grads():
             return jnp.sum(_reference(x, p, masks, br).astype(jnp.float32)
                            * cot.astype(jnp.float32))
 
-        gx_f, gp_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(x, p)
-        gx_r, gp_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(x, p)
+        from contextlib import nullcontext
+        prec = jax.default_matmul_precision("highest") \
+            if dt == jnp.float32 else nullcontext()
+        with prec:
+            gx_f, gp_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(x, p)
+            gx_r, gp_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(x, p)
 
         def relerr(a, b):
             a = np.asarray(a, np.float64).ravel()
@@ -160,7 +171,7 @@ def check_grads():
               f"worst {worst[0]} rel={worst[1]:.2e})")
 
 
-def check_time():
+def check_time(block_r=0):
     import jax
     import jax.numpy as jnp
     from afft_tpu.models import blocks as BL
@@ -181,7 +192,8 @@ def check_time():
         for bi, p in enumerate(params):
             xt = PBT.fused_block_train(
                 xt, p, None, seeds, num_heads=H, block_idx=bi,
-                attn_rate=0.1, drop_rate=0.1, dp_rate=dpr[bi])
+                attn_rate=0.1, drop_rate=0.1, dp_rate=dpr[bi],
+                block_r=block_r)
         return jnp.transpose(xt, (1, 0, 2))
 
     def stack_xla(x, params, key):
@@ -225,7 +237,7 @@ def main():
     if stage in ("grads", "all"):
         check_grads()
     if stage in ("time", "all"):
-        check_time()
+        check_time(int(sys.argv[2]) if len(sys.argv) > 2 else 0)
     print("DONE", stage)
 
 
