@@ -101,6 +101,22 @@ class BaseFuturePredictor:
         x = embeds + jnp.take(params["wpe"], position_ids, axis=0)
         x = L.dropout(x, self.embd_pdrop, train, rng)
         from ..ops import pallas_gpt2 as PG
+        from ..ops import pallas_gpt2_train as PGT
+        if (train and not collect_attn
+                and PGT.use_fused_gpt2_train(x, self.n_head, self.n_inner,
+                                             rng)):
+            # training fast path: per layer, two fwd kernels with in-kernel
+            # PRNG dropout and a custom VJP whose backward is three Pallas
+            # kernels (dx chains + mask regeneration) plus XLA dW matmuls
+            seeds = jax.random.randint(rng.next(), (2,), 0, 2 ** 31 - 1,
+                                       dtype=jnp.int32)
+            for li, p in enumerate(params["blocks"]):
+                x = PGT.fused_gpt2_block_train(
+                    x, p, mask, seeds, num_heads=self.n_head, layer_idx=li,
+                    attn_rate=self.attn_pdrop, resid_rate=self.resid_pdrop,
+                    eps=1e-5)
+            x = L.layernorm_apply(params["ln_f"], x, 1e-5)
+            return x, None
         if (not train and not collect_attn
                 and PG.use_fused_gpt2(x, self.n_head, self.n_inner)):
             # inference fast path: each layer = two Pallas kernels (attn

@@ -41,6 +41,10 @@ def save_checkpoint(path, params, opt_state, epoch: int, step: int,
     ``schedule_state`` carries metric-driven scheduler state
     (ReduceLROnPlateau scale/best/patience counters) — without it a resume
     would silently revert every prior lr reduction."""
+    if isinstance(opt_state, dict) and "params_c" in opt_state:
+        # derived compute-dtype copy (runner mixed precision) — rebuilt on
+        # resume, don't double the checkpoint size
+        opt_state = {k: v for k, v in opt_state.items() if k != "params_c"}
     payload = {
         "model": jax.tree.map(np.asarray, params),
         "optimizer": jax.tree.map(np.asarray, opt_state),

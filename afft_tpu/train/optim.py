@@ -96,7 +96,9 @@ class SGD(Optimizer):
         def upd(g, p, buf, spec):
             if spec.frozen:
                 return jnp.zeros_like(p), buf
-            g = g + spec.wd * p
+            # mixed precision hands grads over in the compute dtype; the
+            # momentum/update math stays in the master-param dtype
+            g = g.astype(p.dtype) + spec.wd * p
             # torch initializes the buffer with the first grad, not zero
             buf = jnp.where(step == 0, g, mu * buf + g)
             d = g + mu * buf if nesterov else buf
@@ -138,6 +140,7 @@ class Adam(Optimizer):
         def upd(g, p, m, v, spec):
             if spec.frozen:
                 return jnp.zeros_like(p), m, v
+            g = g.astype(p.dtype)
             lr = spec.lr * lr_factor
             if self.decoupled:
                 decay = -lr * spec.wd * p

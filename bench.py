@@ -1,4 +1,7 @@
-"""Benchmark: EK100 val throughput, clips/sec on one chip.
+"""Benchmark: EK100 val throughput, clips/sec on one chip — plus, in the
+same JSON line, the EGTEA 2-modal serving rate and the flagship train
+step, so driver-captured BENCH artifacts catch regressions in all three
+paths (VERDICT r2 next #9).
 
 Runs the flagship SA-Fuser EK100 eval forward (4 modalities, T=16, 3806
 actions, ~390M params) on the default jax backend in bfloat16, with batches
@@ -10,7 +13,8 @@ measurement.
 
 Prints ONE JSON line:
   {"metric": "EK100 val clips/sec/chip", "value": N, "unit": "clips/s",
-   "vs_baseline": ratio}
+   "vs_baseline": ratio, ..., "egtea_clips_per_sec": N,
+   "train_ms_per_step": N}
 """
 
 import json
@@ -220,6 +224,106 @@ def bench_afft(n_warmup=3, n_iters=20):
     return best
 
 
+def bench_egtea(n_warmup=3, n_iters=20, batch=256):
+    """EGTEA serving shape (expts/06: 2 modalities, depth-2 fuser, 2-layer
+    predictor, T=10), host-staged bf16 batches like bench_afft."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+
+    t_frames = 10
+    dims = {"rgb": 1024, "flow": 1024}
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:1024, flow:1024}",
+        "model.common_dim=1024",
+        "model.fuser.depth=2",
+        "model.common.fp_layers=2",
+    ])
+    model = BaseModel(cfg.model, num_classes={"action": 106})
+    params = model.init(jax.random.key(0))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def fwd(p, feats):
+        outputs, _ = model.apply(p, feats, train=False)
+        return outputs["logits/action"]["all-fused"][:, 0, :]
+
+    rng = np.random.default_rng(0)
+    host_batches = [
+        {m: rng.standard_normal((batch, t_frames, d))
+         .astype(ml_dtypes.bfloat16) for m, d in dims.items()}
+        for _ in range(4)]
+
+    def step(i):
+        feats = {m: jnp.asarray(v)
+                 for m, v in host_batches[i % len(host_batches)].items()}
+        return fwd(params, feats)
+
+    from afft_tpu.utils.sync import force_device_sync as sync
+    for i in range(n_warmup):
+        sync(step(i))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n_iters):
+            out = step(i)
+        sync(out)
+        best = max(best, batch * n_iters / (time.perf_counter() - t0))
+    return best
+
+
+def bench_train(batch=64, steps=30):
+    """Flagship mixed-precision train step (fused Pallas train kernels),
+    synthetic EK100-shaped batches; returns ms/step."""
+    import jax
+    import jax.numpy as jnp
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+    from afft_tpu.train import optim as O
+    from afft_tpu.train.mixup import MixUp
+    from afft_tpu.train.runner import Runner
+
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:1024, objects:352, audio:1024, flow:1024}",
+        "model.common_dim=1024", "model.fuser.depth=6",
+        "model.common.fp_layers=6",
+    ])
+    model = BaseModel(cfg.model, num_classes={"action": N_CLASSES})
+    params = model.init(jax.random.key(0))
+    groups = O.build_group_tree(params, None, 1e-3, 1e-6)
+    opt = O.sgd(momentum=0.9, nesterov=True)
+    mixup = MixUp(alpha=0.1, label_smoothing={"action": 0.0},
+                  num_classes={"action": N_CLASSES})
+    runner = Runner(model, opt, groups,
+                    loss_wts={"cls_action": 1.0, "past_cls_action": 1.0,
+                              "past_reg": 1.0},
+                    mixup=mixup, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "data_dict": {m: rng.standard_normal((batch, T, d))
+                      .astype(np.float32)
+                      for m, d in MODAL_DIMS.items()},
+        "target": {"action": rng.integers(0, N_CLASSES, (batch,))},
+        "target_subclips": {"action": rng.integers(
+            -1, N_CLASSES, (batch, T, 1))},
+        "valid": np.ones((batch,), bool),
+    }
+    state = opt.init(params, groups)
+    p, s = params, state
+    p, s, losses, _, _ = runner.train_step(p, s, batch_np, 1e-3, 1e-3,
+                                           jax.random.key(0))
+    float(losses["total_loss"])  # sync after compile
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        p, s, losses, _, _ = runner.train_step(p, s, batch_np, 1e-3, 1e-3,
+                                               jax.random.key(i))
+    float(losses["total_loss"])  # forced readback sync
+    return (time.perf_counter() - t0) / steps * 1e3
+
+
 def bench_torch_baseline(n_warmup=1, n_iters=3):
     """Reference PyTorch model, CPU fp32, same shapes."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -292,6 +396,8 @@ def main():
         f"implausible throughput {value:.0f} clips/s -> {implied / 1e12:.0f} " \
         f"TFLOPS sustained > {V5E_BF16_PEAK / 1e12:.0f} peak; sync is broken"
     baseline = get_torch_baseline()
+    egtea = bench_egtea()
+    train_ms = bench_train()
     print(json.dumps({
         "metric": "EK100 val clips/sec/chip",
         "value": round(value, 2),
@@ -299,6 +405,9 @@ def main():
         "vs_baseline": round(value / baseline, 2),
         "ms_per_batch": round(BATCH / value * 1000, 2),
         "mfu": round(value * FLOPS_PER_CLIP / V5E_BF16_PEAK, 3),
+        "egtea_clips_per_sec": round(egtea, 2),
+        "train_ms_per_step": round(train_ms, 2),
+        "train_batch": 64,
     }))
 
 

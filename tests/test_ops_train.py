@@ -145,3 +145,127 @@ def test_dropout_scales_survive(setup):
                                np.asarray(2.0 * (a_0 - x)),
                                rtol=1e-4, atol=1e-5)
     assert not np.allclose(np.asarray(out_dp), np.asarray(out_0))
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 train block (hybrid VJP): same interpret-mode validation strategy
+# ---------------------------------------------------------------------------
+
+from afft_tpu.ops import pallas_gpt2_train as PGT  # noqa: E402
+
+G_B, G_T, G_C, G_H = 4, 4, 128, 1
+G_HM = 4 * G_C
+G_BLOCK_B = 2
+G_RATES = dict(attn_rate=0.1, resid_rate=0.2)
+
+
+@pytest.fixture(scope="module")
+def gpt2_setup():
+    from afft_tpu.models import layers as L
+    rng = jax.random.key(2)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    params = {
+        "ln_1": L.layernorm_init(G_C),
+        "c_attn": L.normal_linear_init(k1, G_C, 3 * G_C, 0.02),
+        "c_proj": L.normal_linear_init(k2, G_C, G_C, 0.02),
+        "ln_2": L.layernorm_init(G_C),
+        "c_fc": L.normal_linear_init(k3, G_C, G_HM, 0.02),
+        "mlp_c_proj": L.normal_linear_init(k4, G_HM, G_C, 0.02),
+    }
+    x = jax.random.normal(jax.random.key(5), (G_B, G_T, G_C), jnp.float32)
+    mask = jnp.triu(jnp.full((G_T, G_T), -jnp.inf), k=1)
+    seeds = jnp.asarray([77, 88], jnp.int32)
+    return params, x, mask, seeds
+
+
+def _gfused(x, params, mask, seeds):
+    return PGT.fused_gpt2_block_train(
+        x, params, mask, seeds, num_heads=G_H, layer_idx=1,
+        block_b=G_BLOCK_B, interpret=True, **G_RATES)
+
+
+def _gref(x, params, mask, masks_list):
+    outs = []
+    G = x.shape[0] // G_BLOCK_B
+    for g in range(G):
+        tile = x[g * G_BLOCK_B:(g + 1) * G_BLOCK_B]
+        masks = tuple(m[g:g + 1] for m in masks_list)
+        outs.append(PGT.gpt2_block_reference_with_masks(
+            tile, params, mask, masks, num_heads=G_H))
+    return jnp.concatenate(outs, axis=0)
+
+
+def test_gpt2_forward_matches_masked_reference(gpt2_setup):
+    params, x, mask, seeds = gpt2_setup
+    out = _gfused(x, params, mask, seeds)
+    masks = PGT.draw_masks_gpt2(G_B, G_T, G_C, G_HM, seeds, 1,
+                                G_RATES["attn_rate"], G_RATES["resid_rate"],
+                                block_b=G_BLOCK_B, interpret=True)
+    ref = _gref(x, params, mask, masks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gpt2_vjp_matches_masked_reference_grads(gpt2_setup):
+    params, x, mask, seeds = gpt2_setup
+    masks = PGT.draw_masks_gpt2(G_B, G_T, G_C, G_HM, seeds, 1,
+                                G_RATES["attn_rate"], G_RATES["resid_rate"],
+                                block_b=G_BLOCK_B, interpret=True)
+    cot = jax.random.normal(jax.random.key(9), (G_B, G_T, G_C), jnp.float32)
+
+    def loss_fused(x, p):
+        return jnp.sum(_gfused(x, p, mask, seeds) * cot)
+
+    def loss_ref(x, p):
+        return jnp.sum(_gref(x, p, mask, masks) * cot)
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=5e-4, atol=5e-5)
+    ref_flat = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree.leaves_with_path(gp_r)}
+    flat_f = jax.tree.leaves_with_path(gp_f)
+    assert flat_f
+    for key, gf in flat_f:
+        key = jax.tree_util.keystr(key)
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(ref_flat[key]), rtol=5e-4, atol=5e-4,
+            err_msg=f"param grad mismatch at {key}")
+
+
+def test_gpt2_zero_rates_match_xla_block(gpt2_setup):
+    """Rates 0 -> the fused train block equals the production XLA _block
+    (train=False) forward and grads at fp32."""
+    from afft_tpu.models.predictor import BaseFuturePredictor
+    params, x, mask, seeds = gpt2_setup
+    mod = BaseFuturePredictor(in_features=G_C, inter_dim=G_C, n_layer=1,
+                              n_head=G_H, embd_pdrop=0.0, resid_pdrop=0.0,
+                              attn_pdrop=0.0)
+
+    def loss_fused(x, p):
+        out = PGT.fused_gpt2_block_train(
+            x, p, mask, seeds, num_heads=G_H, layer_idx=1,
+            block_b=G_BLOCK_B, interpret=True, attn_rate=0.0,
+            resid_rate=0.0)
+        return jnp.sum(out ** 2)
+
+    def loss_xla(x, p):
+        out, _ = mod._block(p, x, mask, train=False, rng=None,
+                            collect_attn=False)
+        return jnp.sum(out ** 2)
+
+    f_val, (gx_f, gp_f) = jax.value_and_grad(
+        loss_fused, argnums=(0, 1))(x, params)
+    x_val, (gx_x, gp_x) = jax.value_and_grad(
+        loss_xla, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(float(f_val), float(x_val), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_x),
+                               rtol=1e-4, atol=1e-5)
+    ref_flat = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree.leaves_with_path(gp_x)}
+    for key, gf in jax.tree.leaves_with_path(gp_f):
+        key = jax.tree_util.keystr(key)
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(ref_flat[key]), rtol=1e-4, atol=1e-4,
+            err_msg=f"vs XLA at {key}")

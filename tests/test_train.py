@@ -462,3 +462,62 @@ def test_multistep_schedule_matches_reference():
     assert alias(31, base_lr) == mine(31, base_lr)
     with pytest.raises(ValueError, match="milestone"):
         O.multistep_schedule(iters_per_epoch=iters, world_size=2)
+
+
+def test_mixed_precision_persistent_params_c():
+    """bf16 training keeps a persistent compute-dtype copy in opt_state:
+    grads flow in bf16, the copy tracks updated fp32 masters, master params
+    stay fp32, and the loss decreases like the fp32 path."""
+    import jax
+    import jax.numpy as jnp
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+    from afft_tpu.train import optim as O
+    from afft_tpu.train.runner import Runner
+
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:16, flow:16}", "model.common_dim=16",
+        "model.common.fp_inter_dim=32", "model.common.fp_layers=1",
+        "model.common.fp_heads=2", "model.fuser.depth=1",
+        "model.fuser.num_heads=2",
+    ])
+    model = BaseModel(cfg.model, num_classes={"action": 5})
+    params = model.init(jax.random.key(0))
+    groups = O.build_group_tree(params, None, 0.05, 0.0)
+    opt = O.sgd(momentum=0.9, nesterov=True)
+    runner = Runner(model, opt, groups,
+                    loss_wts={"cls_action": 1.0, "past_cls_action": 1.0,
+                              "past_reg": 1.0},
+                    donate=False, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "data_dict": {m: rng.standard_normal((4, 6, 16)).astype(np.float32)
+                      for m in ("rgb", "flow")},
+        "target": {"action": rng.integers(0, 5, (4,))},
+        "valid": np.ones((4,), bool),
+    }
+    state = opt.init(params, groups)
+    losses_seq = []
+    for i in range(8):
+        params, state, losses, _, _ = runner.train_step(
+            params, state, batch, 0.05, 0.05, jax.random.key(i))
+        losses_seq.append(float(losses["total_loss"]))
+    assert "params_c" in state
+    # master params stay fp32; the persistent copy is bf16 and tracks them
+    leaf = jax.tree.leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+    leaf_c = jax.tree.leaves(state["params_c"])[0]
+    assert leaf_c.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(leaf_c, np.float32), np.asarray(leaf).astype(np.float32),
+        rtol=1e-2, atol=1e-2)
+    assert losses_seq[-1] < losses_seq[0], losses_seq
+
+    # checkpoints must not carry the derived copy
+    import tempfile
+    from afft_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(f"{d}/ck", params, state, epoch=0, step=8,
+                        best_metric=0.0)
+        ck = load_checkpoint(f"{d}/ck")
+        assert "params_c" not in ck["optimizer"]

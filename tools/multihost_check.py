@@ -4,17 +4,31 @@ Each process owns 4 virtual CPU devices; jax.distributed glues them into one
 8-device mesh. Both run the same jitted train step on their input shard; the
 resulting (replicated) loss must match the single-process 8-device run.
 
-Usage: python tools/multihost_check.py            # orchestrates both ranks
-       python tools/multihost_check.py RANK       # internal
+Usage: python tools/multihost_check.py              # orchestrates both ranks
+       python tools/multihost_check.py --flagship   # flagship-shape loader
+                                                    # feed-rate load test
+       python tools/multihost_check.py RANK [...]   # internal
+
+``--flagship`` runs the per-host input pipeline at flagship dims (global
+batch 64, 4 modalities, T=16, bf16 packed stores) through BatchLoader +
+``make_array_from_process_local_data`` staging on the 2-process 8-device
+mesh, and reports the feed rate against the measured flagship TPU train
+step budget — proving the host pipeline keeps multi-chip devices fed
+(VERDICT r2 next #8).
 """
 
+import json
 import os
 import subprocess
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PORT = 12357
+# measured flagship train step on the real chip (tools/tpu_train_check.py,
+# B=64, fused train kernels) — the budget each staged batch must beat
+TRAIN_STEP_BUDGET_MS = 44.6
 
 
 def worker(rank: int):
@@ -81,15 +95,121 @@ def worker(rank: int):
     print(f"RANK{rank} LOSS {loss:.6f}", flush=True)
 
 
+def flagship_worker(rank: int):
+    """Per-host input pipeline at flagship dims on the 2-process mesh:
+    packed-store reads -> BatchLoader (sharded) -> staging. Reports
+    ms/batch for loader-only and loader+staging."""
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{PORT + 1}",
+                               num_processes=2, process_id=rank)
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from afft_tpu.data.epic import EPICKitchens
+    from afft_tpu.data.loader import BatchLoader
+    from afft_tpu.parallel.mesh import make_mesh
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+    bench._build_bench_dataset()
+    annot = os.path.join(bench.BENCH_DATA, "annotations")
+    ds = EPICKitchens(
+        annotation_path=[os.path.join(annot, "validation.csv")],
+        annotation_dir=annot, rulstm_annotation_dir=annot,
+        action_labels_fpath=os.path.join(annot, "actions.csv"),
+        version=-1, label_type="action", sample_strategy="last_clip",
+        conv_to_anticipate_fn={
+            "_target_": "datasets.base_video_dataset.convert_to_anticipation",
+            "tau_a": 1, "tau_o": 16, "drop_style": "correct"},
+        reader_fn={m: {
+            "_target_": "datasets.reader_fns.EpicRULSTMFeatsReader",
+            "lmdb_path": os.path.join(bench.BENCH_DATA, "features", m)}
+            for m in bench.MODAL_DIMS},
+        frames_per_clip=16, frame_rate=1, load_seg_labels=True)
+
+    local_b = 32  # global 64 over 2 hosts
+    loader = BatchLoader(ds, batch_size=local_b, shuffle=True, seed=7,
+                         num_workers=8, shard_id=rank, num_shards=2,
+                         drop_last=True)
+    mesh = make_mesh()
+
+    def stage(batch):
+        def put(x):
+            x = np.asarray(x)
+            spec = P("data", *([None] * (x.ndim - 1))) if x.ndim else P()
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), x)
+        return jax.tree.map(put, {
+            "data_dict": batch["data_dict"], "target": batch["target"],
+            "target_subclips": batch.get("target_subclips"),
+            "valid": batch["valid"]})
+
+    # warm one epoch start, then measure
+    n, t_loader, t_stage = 0, 0.0, 0.0
+    it = iter(loader)
+    staged = stage(next(it))
+    t_all0 = time.perf_counter()
+    while n < 40:
+        t0 = time.perf_counter()
+        try:
+            batch = next(it)
+        except StopIteration:
+            loader.set_epoch(loader._epoch + 1)
+            it = iter(loader)
+            batch = next(it)
+        t_loader += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        staged = stage(batch)
+        jax.block_until_ready(staged["data_dict"]["rgb"])
+        t_stage += time.perf_counter() - t0
+        n += 1
+    wall = time.perf_counter() - t_all0
+    print("FLAGSHIP" + str(rank) + " " + json.dumps({
+        "batches": n, "local_batch": local_b,
+        "loader_ms_per_batch": round(t_loader / n * 1e3, 2),
+        "staging_ms_per_batch": round(t_stage / n * 1e3, 2),
+        "wall_ms_per_batch": round(wall / n * 1e3, 2),
+    }), flush=True)
+
+
 def main():
-    if len(sys.argv) > 1:
-        worker(int(sys.argv[1]))
+    argv = sys.argv[1:]
+    flagship = "--flagship" in argv
+    argv = [a for a in argv if a != "--flagship"]
+    if argv:
+        (flagship_worker if flagship else worker)(int(argv[0]))
         return
-    procs = [subprocess.Popen([sys.executable, __file__, str(r)],
-                              stdout=subprocess.PIPE,
+    cmd = [sys.executable, __file__] + (["--flagship"] if flagship else [])
+    procs = [subprocess.Popen(cmd + [str(r)], stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for r in range(2)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=1200 if flagship else 300)[0]
+            for p in procs]
+    if flagship:
+        stats = []
+        for r, out in enumerate(outs):
+            for line in out.splitlines():
+                if line.startswith(f"FLAGSHIP{r} "):
+                    stats.append(json.loads(line.split(" ", 1)[1]))
+        assert len(stats) == 2, f"missing rank outputs:\n{outs[0]}\n{outs[1]}"
+        worst = max(s["wall_ms_per_batch"] for s in stats)
+        verdict = {
+            "what": "flagship-shape 2-process input pipeline load test "
+                    "(packed stores -> sharded BatchLoader -> "
+                    "make_array_from_process_local_data staging)",
+            "per_rank": stats,
+            "worst_wall_ms_per_batch": worst,
+            "train_step_budget_ms": TRAIN_STEP_BUDGET_MS,
+            "keeps_devices_fed": worst < TRAIN_STEP_BUDGET_MS,
+        }
+        print(json.dumps(verdict))
+        assert worst < TRAIN_STEP_BUDGET_MS, \
+            f"input pipeline too slow: {worst} ms/batch vs " \
+            f"{TRAIN_STEP_BUDGET_MS} ms step budget"
+        return
     losses = []
     for r, out in enumerate(outs):
         for line in out.splitlines():

@@ -9,6 +9,11 @@ readback (device execution is in-order), giving the sustained per-batch
 device latency a pipelined serving deployment would see.
 
 Usage: python tools/serving_latency.py [--batches 1 8 32 256]
+                                       [--output-len N]
+``--output-len N`` (>1) serves the AVT-style multi-step rollout
+(fp_output_len=N): the predictor prefILLS T tokens then KV-cache-decodes
+N-1 future steps (reference models/future_prediction.py:396-412; ours
+predictor._apply_kv_cache).
 Prints one JSON line: {"latency_ms": {"1": ..., "8": ...}, ...}.
 """
 
@@ -32,6 +37,8 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[1, 8, 32, 256])
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--output-len", type=int, default=1,
+                    help="fp_output_len: >1 engages the KV-cache rollout")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +53,7 @@ def main():
         "model.common_dim=1024",
         "model.fuser.depth=6",
         "model.common.fp_layers=6",
+        f"model.common.fp_output_len={args.output_len}",
     ])
     model = BaseModel(cfg.model, num_classes={"action": N_CLASSES})
     params = model.init(jax.random.key(0))
@@ -86,6 +94,7 @@ def main():
     print(json.dumps({
         "what": "flagship eval forward device latency (HBM-cache serving "
                 "pipeline, amortized-window timing)",
+        "output_len": args.output_len,
         "latency_ms": result,
         "device": str(jax.devices()[0]),
     }))
