@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import logging
 import os
+import shutil
+import threading
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -34,13 +36,119 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+_OLD_SUFFIX = ".old-tmp"
+_NEW_SUFFIX = ".new-tmp"
+
+
+def _write_and_swap(path: Path, payload: dict, epoch):
+    """Write to a sibling tmp dir, then swap in via renames.
+
+    Orbax's own ``force=True`` DELETES the existing directory before the
+    new one is complete, so a crash mid-write (slow disks take minutes at
+    flagship size) destroys the only resumable checkpoint. Writing to
+    ``<path>.new-tmp`` and swapping keeps a complete checkpoint on disk at
+    every instant; a crash can at worst leave it under ``<path>.old-tmp``,
+    which load_checkpoint recovers."""
+    new_tmp = path.with_name(path.name + _NEW_SUFFIX)
+    old_tmp = path.with_name(path.name + _OLD_SUFFIX)
+    # stale tmps from a previous crash (incl. orbax's internal tmp name)
+    for stale in (new_tmp,
+                  path.with_name(new_tmp.name + ".orbax-checkpoint-tmp"),
+                  path.with_name(path.name + ".orbax-checkpoint-tmp")):
+        if stale.exists():
+            shutil.rmtree(stale)
+    _checkpointer().save(new_tmp, payload, force=True)
+    if old_tmp.exists():
+        shutil.rmtree(old_tmp)
+    if path.exists():
+        path.rename(old_tmp)
+    new_tmp.rename(path)
+    if old_tmp.exists():
+        shutil.rmtree(old_tmp)
+    logging.info("Stored checkpoint at epoch %s to %s", epoch, path)
+
+
+class _AsyncSaver:
+    """One background writer; newest payload per path wins (coalescing).
+
+    Flagship checkpoints are ~3 GiB and this environment's disk writes
+    them at ~27 MiB/s (minutes per save), while a train epoch can be
+    seconds of device time — blocking saves would dominate wall clock.
+    Coalescing by path bounds queued host memory to one payload per
+    distinct checkpoint name."""
+
+    def __init__(self):
+        self._cv = threading.Condition()
+        self._pending: Dict[Path, tuple] = {}
+        self._order: List[Path] = []
+        self._thread = None
+        self._busy = False
+        self._error = None
+
+    def submit(self, path: Path, payload: dict, epoch):
+        with self._cv:
+            self._raise_pending_error()
+            if path not in self._pending:
+                self._order.append(path)
+            self._pending[path] = (payload, epoch)
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(target=self._run,
+                                                name="ckpt-writer",
+                                                daemon=True)
+                self._thread.start()
+            self._cv.notify_all()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                if not self._order:
+                    self._busy = False
+                    self._cv.notify_all()
+                    return
+                path = self._order.pop(0)
+                payload, epoch = self._pending.pop(path)
+                self._busy = True
+            try:
+                _write_and_swap(path, payload, epoch)
+            except BaseException as e:  # surfaced on next submit()/wait()
+                with self._cv:
+                    self._error = e
+                    self._busy = False
+                    self._cv.notify_all()
+                return
+
+    def wait(self):
+        with self._cv:
+            self._cv.wait_for(lambda: not self._order and not self._busy)
+            self._raise_pending_error()
+
+    def _raise_pending_error(self):
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from e
+
+
+_ASYNC_SAVER = _AsyncSaver()
+
+
+def wait_for_pending_saves():
+    """Block until all async checkpoint writes are on disk (call at end of
+    training); re-raises any writer failure."""
+    _ASYNC_SAVER.wait()
+
+
 def save_checkpoint(path, params, opt_state, epoch: int, step: int,
-                    best_metric: float, schedule_state: dict = None):
+                    best_metric: float, schedule_state: dict = None,
+                    block: bool = True):
     """Rank-0-only save (callers gate on process_index).
 
     ``schedule_state`` carries metric-driven scheduler state
     (ReduceLROnPlateau scale/best/patience counters) — without it a resume
-    would silently revert every prior lr reduction."""
+    would silently revert every prior lr reduction.
+
+    ``block=False`` hands the disk write to a background thread (the
+    device→host copy still happens here, so donated/mutated buffers are
+    safe); call :func:`wait_for_pending_saves` before exiting."""
     if isinstance(opt_state, dict) and "params_c" in opt_state:
         # derived compute-dtype copy (runner mixed precision) — rebuilt on
         # resume, don't double the checkpoint size
@@ -57,14 +165,23 @@ def save_checkpoint(path, params, opt_state, epoch: int, step: int,
         payload["schedule"] = {k: np.asarray(v)
                                for k, v in schedule_state.items()}
     path = Path(path).absolute()
-    ckptr = _checkpointer()
-    ckptr.save(path, payload, force=True)
-    logging.info("Stored checkpoint at epoch %s to %s", epoch, path)
+    if block:
+        _write_and_swap(path, payload, epoch)
+    else:
+        _ASYNC_SAVER.submit(path, payload, epoch)
 
 
 def load_checkpoint(path) -> Dict:
+    path = Path(path).absolute()
+    if not path.exists():
+        old_tmp = path.with_name(path.name + _OLD_SUFFIX)
+        if old_tmp.exists():
+            # crash window between the two swap renames: the previous
+            # complete checkpoint survives under .old-tmp — recover it
+            logging.warning("Recovering checkpoint from %s", old_tmp)
+            old_tmp.rename(path)
     ckptr = _checkpointer()
-    ckpt = ckptr.restore(Path(path).absolute())
+    ckpt = ckptr.restore(path)
     if isinstance(ckpt, dict) and "model" in ckpt:
         version = int(ckpt.get("format_version", 1))
         if version != CKPT_FORMAT_VERSION:

@@ -32,7 +32,8 @@ from ..parallel.mesh import (init_distributed, make_mesh, replicate_tree,
                              shard_batch)
 from . import optim as O
 from .checkpoint import (CKPT_BEST_DIRNAME, CKPT_LAST_DIRNAME,
-                         init_from_model, load_checkpoint, save_checkpoint)
+                         init_from_model, load_checkpoint, save_checkpoint,
+                         wait_for_pending_saves)
 from .metrics import MetricTracker
 from .mixup import MixUp
 from .runner import Runner
@@ -268,7 +269,11 @@ def main(cfg: Config, interactive: bool = True):
 
     start_epoch, step_counter, best_metric = 0, 0, 0.0
     last_path = os.path.join(ckpt_path, CKPT_LAST_DIRNAME)
-    if cfg.train.get("resume", False) and os.path.exists(last_path):
+    if cfg.train.get("resume", False) and (
+            os.path.exists(last_path)
+            # crash between the swap renames: previous complete checkpoint
+            # survives under .old-tmp; load_checkpoint recovers it
+            or os.path.exists(last_path + ".old-tmp")):
         ckpt = load_checkpoint(last_path)
         params = replicate_tree(mesh, ckpt["model"])
         opt_state = replicate_tree(mesh, ckpt["optimizer"])
@@ -350,26 +355,39 @@ def main(cfg: Config, interactive: bool = True):
             sched_state = getattr(lr_schedule, "state_dict", lambda: None)()
             primary = metric_tracker.get_data(cfg.primary_metric,
                                               is_training=False)
+            # async (default): the device→host copy happens here, the
+            # minutes-long disk write on a background thread (newest-wins
+            # per path), overlapped with subsequent epochs; joined after
+            # the loop. train.async_checkpoint=false restores blocking
+            # saves. train.save_last_every=N thins the resume checkpoint
+            # cadence (the final epoch always saves).
+            block = not cfg.train.get("async_checkpoint", True)
             if primary is not None and primary > best_metric:
                 best_metric = primary
                 save_checkpoint(os.path.join(ckpt_path, CKPT_BEST_DIRNAME),
                                 params, opt_state, epoch + 1, step_counter,
-                                best_metric, schedule_state=sched_state)
-            save_checkpoint(last_path, params, opt_state, epoch + 1,
-                            step_counter, best_metric,
-                            schedule_state=sched_state)
+                                best_metric, schedule_state=sched_state,
+                                block=block)
+            last_every = int(cfg.train.get("save_last_every") or 1)
+            if (epoch + 1) % last_every == 0 \
+                    or epoch + 1 == cfg.train.num_epochs:
+                save_checkpoint(last_path, params, opt_state, epoch + 1,
+                                step_counter, best_metric,
+                                schedule_state=sched_state, block=block)
             every = cfg.train.get("checkpoint_every")
             if every and (epoch + 1) % int(every) == 0:
                 save_checkpoint(
                     os.path.join(ckpt_path, f"checkpoint_epoch{epoch + 1}"),
                     params, opt_state, epoch + 1, step_counter, best_metric,
-                    schedule_state=sched_state)
+                    schedule_state=sched_state, block=block)
             exp_logger.log({
                 **metric_tracker.get_all_data(is_training=True),
                 **metric_tracker.get_all_data(is_training=False),
                 "lr": lr,
             }, step=epoch + 1)
     profiler.close()
+    if is_master:
+        wait_for_pending_saves()
     if is_master and exp_logger is not None:
         exp_logger.summary(cfg.primary_metric, best_metric)
     log.info("Best %s: %s", cfg.primary_metric, best_metric)

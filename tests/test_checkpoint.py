@@ -220,3 +220,85 @@ def test_checkpoint_layout_version_guard(tmp_path):
                                   force=True)
     with pytest.raises(ValueError, match="layout version"):
         C.load_checkpoint(tmp_path / "legacy")
+
+
+def test_checkpoint_overwrite_is_atomic(tmp_path, monkeypatch):
+    """Overwriting a checkpoint must never leave a window with no complete
+    checkpoint on disk: the write goes to <path>.new-tmp and a failure
+    mid-write leaves the previous save untouched (orbax force=True deletes
+    the target first, which this wrapper exists to avoid)."""
+    import numpy as np
+    from afft_tpu.train import checkpoint as C
+
+    path = tmp_path / "ck"
+    C.save_checkpoint(path, {"w": np.ones(3, np.float32)}, {"m": np.zeros(3)},
+                      epoch=1, step=10, best_metric=0.1)
+
+    # a second save whose orbax write blows up must not harm the first
+    class Boom:
+        def save(self, *a, **k):
+            raise IOError("disk gone")
+    monkeypatch.setattr(C, "_checkpointer", lambda: Boom())
+    with pytest.raises(IOError):
+        C.save_checkpoint(path, {"w": np.full(3, 2.0, np.float32)},
+                          {"m": np.zeros(3)}, epoch=2, step=20,
+                          best_metric=0.2)
+    monkeypatch.undo()
+    ckpt = C.load_checkpoint(path)
+    assert int(ckpt["epoch"]) == 1  # the original survived
+
+    # successful overwrite swaps in the new one and leaves no tmp litter
+    C.save_checkpoint(path, {"w": np.full(3, 3.0, np.float32)},
+                      {"m": np.zeros(3)}, epoch=3, step=30, best_metric=0.3)
+    assert int(C.load_checkpoint(path)["epoch"]) == 3
+    litter = [p.name for p in tmp_path.iterdir() if p.name != "ck"]
+    assert litter == []
+
+
+def test_checkpoint_old_tmp_recovery(tmp_path):
+    """Crash between the two swap renames leaves the previous complete
+    checkpoint under <path>.old-tmp; load_checkpoint recovers it."""
+    import numpy as np
+    from afft_tpu.train import checkpoint as C
+
+    path = tmp_path / "ck"
+    C.save_checkpoint(path, {"w": np.ones(3, np.float32)}, {"m": np.zeros(3)},
+                      epoch=7, step=70, best_metric=0.7)
+    path.rename(tmp_path / "ck.old-tmp")  # simulate the crash window
+    ckpt = C.load_checkpoint(path)
+    assert int(ckpt["epoch"]) == 7
+    assert path.exists()
+
+
+def test_async_checkpoint_coalesces_and_waits(tmp_path):
+    """block=False saves land on disk after wait_for_pending_saves();
+    newest payload per path wins (resume checkpoint cadence can outpace a
+    slow disk without unbounded queueing)."""
+    import numpy as np
+    from afft_tpu.train import checkpoint as C
+
+    path = tmp_path / "ck"
+    for epoch in range(1, 6):
+        C.save_checkpoint(path, {"w": np.full(3, float(epoch), np.float32)},
+                          {"m": np.zeros(3)}, epoch=epoch, step=epoch * 10,
+                          best_metric=float(epoch), block=False)
+    C.wait_for_pending_saves()
+    ckpt = C.load_checkpoint(path)
+    assert int(ckpt["epoch"]) == 5
+    np.testing.assert_array_equal(np.asarray(ckpt["model"]["w"]),
+                                  np.full(3, 5.0, np.float32))
+
+
+def test_async_checkpoint_error_surfaces(tmp_path, monkeypatch):
+    """A writer-thread failure must raise on wait, not vanish."""
+    import numpy as np
+    from afft_tpu.train import checkpoint as C
+
+    def boom(path, payload, epoch):
+        raise IOError("disk gone")
+    monkeypatch.setattr(C, "_write_and_swap", boom)
+    C.save_checkpoint(tmp_path / "ck", {"w": np.ones(2, np.float32)},
+                      {"m": np.zeros(2)}, epoch=1, step=1, best_metric=0.0,
+                      block=False)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        C.wait_for_pending_saves()
