@@ -228,6 +228,20 @@ def main(cfg: Config, interactive: bool = True):
         params, _ = init_from_model(model, params, paths,
                                     cfg.train.modules_to_keep, log)
 
+    master_dtype = jnp.bfloat16 \
+        if cfg.train.get("master_dtype") == "bfloat16" else jnp.float32
+    if master_dtype != jnp.float32:
+        if cfg.model.get("compute_dtype") != "bfloat16":
+            raise ValueError("train.master_dtype=bfloat16 requires "
+                             "model.compute_dtype=bfloat16")
+        # bf16 master weights (train.master_dtype=bfloat16): params and
+        # optimizer state live in the compute dtype; updates apply with
+        # stochastic rounding (runner/optim). ~2x less optimizer-pass HBM
+        # traffic than fp32 masters; checkpoints then store bf16 params.
+        params = jax.tree.map(
+            lambda x: x.astype(master_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
     groups = O.build_group_tree(params, cfg.opt.lr_wd, cfg.opt.lr, cfg.opt.wd)
     optimizer = instantiate(cfg.opt.optimizer)
     opt_state = optimizer.init(params, groups)
@@ -260,7 +274,7 @@ def main(cfg: Config, interactive: bool = True):
                     mixup=mixup_fn, mixup_backbone=cfg.train.mixup_backbone,
                     grad_clip=cfg.opt.grad_clip, compute_dtype=compute_dtype,
                     watch_gradients=bool(cfg.train.get("watch_gradients")),
-                    class_weights=class_weights)
+                    class_weights=class_weights, master_dtype=master_dtype)
     metric_tracker = MetricTracker(num_classes)
 
     mesh = make_mesh()

@@ -77,16 +77,37 @@ class Optimizer:
         raise NotImplementedError
 
 
+def _state_zeros(params, state_dtype):
+    """Optimizer-state pytree of zeros. ``state_dtype`` (e.g. "bfloat16")
+    stores the state buffers in a reduced dtype — an HBM-traffic knob for
+    the bandwidth-bound update pass (DESIGN.md "Training-step bandwidth
+    floor"); update math still runs in fp32."""
+    if state_dtype is None:
+        return jax.tree.map(jnp.zeros_like, params)
+    dt = jnp.dtype(state_dtype)
+    return jax.tree.map(
+        lambda p: jnp.zeros(
+            p.shape, dt if jnp.issubdtype(p.dtype, jnp.floating) else p.dtype),
+        params)
+
+
 class SGD(Optimizer):
     """torch.optim.SGD: grad += wd*p; buf = mu*buf + grad;
-    d = grad + mu*buf (nesterov) else buf; p -= lr*d."""
+    d = grad + mu*buf (nesterov) else buf; p -= lr*d.
 
-    def __init__(self, momentum=0.0, nesterov=False, **_ignored):
+    Update math runs in fp32 regardless of grad/param/state dtypes
+    (bit-identical to the previous master-dtype math for the default fp32
+    master weights); ``state_dtype`` optionally stores the momentum buffer
+    reduced (opt-in deviation from torch's fp32 state)."""
+
+    def __init__(self, momentum=0.0, nesterov=False, state_dtype=None,
+                 **_ignored):
         self.momentum = momentum
         self.nesterov = nesterov
+        self.state_dtype = state_dtype
 
     def init(self, params, groups):
-        return {"momentum": jax.tree.map(jnp.zeros_like, params),
+        return {"momentum": _state_zeros(params, self.state_dtype),
                 "step": jnp.zeros((), jnp.int32)}
 
     def update(self, state, grads, params, groups, lr_factor):
@@ -95,14 +116,13 @@ class SGD(Optimizer):
 
         def upd(g, p, buf, spec):
             if spec.frozen:
-                return jnp.zeros_like(p), buf
-            # mixed precision hands grads over in the compute dtype; the
-            # momentum/update math stays in the master-param dtype
-            g = g.astype(p.dtype) + spec.wd * p
+                return jnp.zeros_like(p, jnp.float32), buf
+            g = g.astype(jnp.float32) + spec.wd * p.astype(jnp.float32)
+            b = buf.astype(jnp.float32)
             # torch initializes the buffer with the first grad, not zero
-            buf = jnp.where(step == 0, g, mu * buf + g)
-            d = g + mu * buf if nesterov else buf
-            return -(spec.lr * lr_factor) * d, buf
+            b = jnp.where(step == 0, g, mu * b + g)
+            d = g + mu * b if nesterov else b
+            return -(spec.lr * lr_factor) * d, b.astype(buf.dtype)
 
         flat_specs = jax.tree.leaves(groups,
                                      is_leaf=lambda x: isinstance(x, GroupSpec))
@@ -121,14 +141,15 @@ class Adam(Optimizer):
     """torch.optim.Adam (L2-coupled wd) / AdamW (decoupled)."""
 
     def __init__(self, betas=(0.9, 0.999), eps=1e-8, decoupled=False,
-                 **_ignored):
+                 state_dtype=None, **_ignored):
         self.b1, self.b2 = betas
         self.eps = eps
         self.decoupled = decoupled
+        self.state_dtype = state_dtype
 
     def init(self, params, groups):
-        return {"m": jax.tree.map(jnp.zeros_like, params),
-                "v": jax.tree.map(jnp.zeros_like, params),
+        return {"m": _state_zeros(params, self.state_dtype),
+                "v": _state_zeros(params, self.state_dtype),
                 "step": jnp.zeros((), jnp.int32)}
 
     def update(self, state, grads, params, groups, lr_factor):
@@ -139,18 +160,19 @@ class Adam(Optimizer):
 
         def upd(g, p, m, v, spec):
             if spec.frozen:
-                return jnp.zeros_like(p), m, v
-            g = g.astype(p.dtype)
+                return jnp.zeros_like(p, jnp.float32), m, v
+            p32 = p.astype(jnp.float32)
+            g = g.astype(jnp.float32)
             lr = spec.lr * lr_factor
             if self.decoupled:
-                decay = -lr * spec.wd * p
+                decay = -lr * spec.wd * p32
             else:
-                g = g + spec.wd * p
+                g = g + spec.wd * p32
                 decay = 0.0
-            m = b1 * m + (1 - b1) * g
-            v = b2 * v + (1 - b2) * (g * g)
-            upd_ = -lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-            return upd_ + decay, m, v
+            m32 = b1 * m.astype(jnp.float32) + (1 - b1) * g
+            v32 = b2 * v.astype(jnp.float32) + (1 - b2) * (g * g)
+            upd_ = -lr * (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            return upd_ + decay, m32.astype(m.dtype), v32.astype(v.dtype)
 
         flat_specs = jax.tree.leaves(groups,
                                      is_leaf=lambda x: isinstance(x, GroupSpec))
@@ -177,8 +199,43 @@ def adamw(**kw):
     return Adam(decoupled=True, **kw)
 
 
-def apply_updates(params, updates):
-    return jax.tree.map(lambda p, u: p + u, params, updates)
+def stochastic_round_bf16(x, key):
+    """Unbiased fp32 -> bf16 conversion.
+
+    bf16 is the top 16 bits of fp32, so adding uniform random bits in
+    [0, 2^16) to the low half and truncating rounds up with probability
+    proportional to the discarded fraction (exactly-representable values
+    pass through unchanged). This is the standard trick that makes bf16
+    master weights trainable: round-to-nearest systematically loses
+    updates smaller than half an ulp, stochastic rounding keeps them in
+    expectation."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    rnd = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    return jax.lax.bitcast_convert_type(
+        (bits + rnd) & jnp.uint32(0xFFFF0000), jnp.float32
+    ).astype(jnp.bfloat16)
+
+
+def apply_updates(params, updates, sr_key=None):
+    """params + updates, preserving each param leaf's dtype.
+
+    Updates arrive in fp32; the add runs in fp32. For reduced-dtype master
+    params the writeback rounds stochastically when ``sr_key`` is given
+    (unbiased — required for bf16 masters, where an lr*grad much smaller
+    than the parameter would otherwise round to zero every step),
+    deterministically otherwise."""
+    leaves, treedef = jax.tree.flatten(params)
+    upd_leaves = jax.tree.leaves(updates)
+    out = []
+    for i, (p, u) in enumerate(zip(leaves, upd_leaves)):
+        new = p.astype(u.dtype) + u if p.dtype != u.dtype else p + u
+        if new.dtype != p.dtype:
+            if sr_key is not None and p.dtype == jnp.dtype(jnp.bfloat16):
+                new = stochastic_round_bf16(new, jax.random.fold_in(sr_key, i))
+            else:
+                new = new.astype(p.dtype)
+        out.append(new)
+    return jax.tree.unflatten(treedef, out)
 
 
 # ---------------------------------------------------------------------------

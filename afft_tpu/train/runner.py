@@ -51,7 +51,8 @@ class Runner:
                  grad_clip: Optional[float] = None,
                  compute_dtype=jnp.float32, donate: bool = True,
                  watch_gradients: bool = False,
-                 class_weights: Optional[Dict] = None):
+                 class_weights: Optional[Dict] = None,
+                 master_dtype=jnp.float32):
         self.model = model
         self.optimizer = optimizer
         self.groups = groups
@@ -66,6 +67,14 @@ class Runner:
         self.grad_clip = grad_clip
         self.compute_dtype = jnp.dtype(compute_dtype)
         self._mixed = self.compute_dtype != jnp.dtype(jnp.float32)
+        # train.master_dtype=bfloat16: the master weights ARE the compute
+        # copy — no params_c, half the param/grad HBM traffic in the
+        # bandwidth-bound update pass, stochastically-rounded writebacks
+        # (apply_updates) so sub-ulp updates survive in expectation.
+        # Opt-in deviation from the reference's torch fp32 optimizer state.
+        self.master_dtype = jnp.dtype(master_dtype)
+        self._master_low = self._mixed and \
+            self.master_dtype == self.compute_dtype
         self.watch_gradients = watch_gradients
         donate_argnums = (0, 1, 5) if donate else ()
         self._train_step = jax.jit(self._train_step_impl,
@@ -203,7 +212,8 @@ class Runner:
         # inside the loss — grads flow back in the compute dtype (half the
         # grad HBM traffic) and the per-step 388M-param cast pass vanishes
         # (the copy is refreshed inside the fused optimizer update below)
-        wrt = opt_state["params_c"] if self._mixed else params
+        wrt = params if self._master_low else (
+            opt_state["params_c"] if self._mixed else params)
 
         def loss_fn(p):
             outputs, outputs_target = self._forward(
@@ -232,8 +242,10 @@ class Runner:
         opt_in = {k: v for k, v in opt_state.items() if k != "params_c"}
         opt_out, updates = self.optimizer.update(
             opt_in, grads, params, self.groups, lr_factor)
-        params = apply_updates(params, updates)
-        if self._mixed:
+        sr_key = jax.random.fold_in(rng_key, 0x5) if self._master_low \
+            else None
+        params = apply_updates(params, updates, sr_key=sr_key)
+        if self._mixed and not self._master_low:
             # XLA fuses this cast into the update's elementwise pass (same
             # per-leaf fusion group), so the copy costs only its write
             opt_out = dict(opt_out)
@@ -284,7 +296,8 @@ class Runner:
         periodically — a per-step readback would serialize the pipeline on
         the host link; the reference's guard is per-step, runner.py:209)."""
         lr_factor = jnp.asarray(lr / base_lr, jnp.float32)
-        if self._mixed and "params_c" not in opt_state:
+        if self._mixed and not self._master_low \
+                and "params_c" not in opt_state:
             # first step (or resume from a checkpoint, which strips the
             # derived copy): seed the persistent compute-dtype params
             opt_state = {**opt_state, "params_c": self._cast_params(params)}

@@ -318,6 +318,39 @@ def test_mixed_precision_training_step():
     assert losses_t[-1] < losses_t[0] * 0.8, losses_t[::10]
 
 
+def test_bf16_master_training_step():
+    """train.master_dtype=bfloat16: params/opt-state in bf16, updates
+    applied with stochastic rounding (no params_c copy); the loss
+    decreases comparably to the fp32-master path (beyond-reference knob;
+    DESIGN.md training-step bandwidth floor)."""
+    cfg = tiny_cfg()
+    model = BaseModel(cfg.model, num_classes={"action": 13})
+    params = model.init(jax.random.key(0))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    groups = O.build_group_tree(params, None, 0.05, 1e-6)
+    opt = O.sgd(momentum=0.9, nesterov=True)
+    opt_state = opt.init(params, groups)
+    assert jax.tree.leaves(opt_state["momentum"])[0].dtype == jnp.bfloat16
+    runner = Runner(model, opt, groups,
+                    loss_wts={"cls_action": 1.0, "past_cls_action": 0.0,
+                              "past_reg": 0.0},
+                    mixup=None, compute_dtype=jnp.bfloat16,
+                    master_dtype=jnp.bfloat16)
+    batch = make_batch(cfg)
+    mesh = make_mesh(jax.devices()[:1])
+    db = shard_batch(mesh, batch)
+    losses_t = []
+    accum = None
+    for step in range(30):
+        params, opt_state, losses, _, accum = runner.train_step(
+            params, opt_state, db, 0.05, 0.05, jax.random.key(step),
+            accum=accum)
+        losses_t.append(float(losses["total_loss"]))
+    assert jax.tree.leaves(params)[0].dtype == jnp.bfloat16
+    assert "params_c" not in opt_state
+    assert losses_t[-1] < losses_t[0] * 0.8, losses_t[::10]
+
+
 def test_device_metric_meter_matches_host():
     """MeanTopKRecallMeter device payload updates equal host updates."""
     from afft_tpu.train.metrics import MeanTopKRecallMeter

@@ -521,3 +521,73 @@ def test_mixed_precision_persistent_params_c():
                         best_metric=0.0)
         ck = load_checkpoint(f"{d}/ck")
         assert "params_c" not in ck["optimizer"]
+
+
+# ---------------------------------------------------------------------------
+# low-precision optimizer state / bf16 master weights (beyond-reference)
+# ---------------------------------------------------------------------------
+
+def test_stochastic_round_bf16_unbiased_and_exact():
+    """Exactly-representable values pass through; in-between values round
+    unbiasedly (mean over many draws ~ the fp32 value)."""
+    exact = jnp.asarray([0.0, 1.0, -2.5, 3.140625, 65280.0], jnp.float32)
+    out = O.stochastic_round_bf16(exact, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(out.astype(jnp.float32)),
+                                  np.asarray(exact))
+    x = jnp.full((200_000,), 1.0 + 1e-3, jnp.float32)  # between bf16 ticks
+    y = O.stochastic_round_bf16(x, jax.random.key(1))
+    mean = float(np.asarray(y.astype(jnp.float32)).mean())
+    assert abs(mean - (1.0 + 1e-3)) < 2e-4, mean
+    vals = np.unique(np.asarray(y.astype(jnp.float32)))
+    assert len(vals) == 2  # only the two neighbouring bf16 ticks
+
+
+def test_sgd_state_dtype_bf16_tracks_fp32():
+    """state_dtype=bfloat16 momentum follows the fp32 trajectory on a
+    quadratic within bf16 tolerance; fp32 math is otherwise unchanged."""
+    target = jnp.asarray(np.linspace(-2, 2, 64), jnp.float32)
+
+    def run(opt):
+        p = {"w": jnp.zeros((64,), jnp.float32)}
+        groups = {"w": GroupSpec(0.1, 0.0, False)}
+        st = opt.init(p, groups)
+        for _ in range(50):
+            g = {"w": p["w"] - target}
+            st, upd = opt.update(st, g, p, groups, 1.0)
+            p = O.apply_updates(p, upd)
+        return np.asarray(p["w"])
+
+    w32 = run(O.sgd(momentum=0.9, nesterov=True))
+    w16 = run(O.sgd(momentum=0.9, nesterov=True, state_dtype="bfloat16"))
+    np.testing.assert_allclose(w16, w32, atol=0.05)
+    assert not np.allclose(w16, w32, atol=1e-7)  # state really is reduced
+
+
+def test_adam_state_dtype_bf16_tracks_fp32():
+    target = jnp.asarray(np.linspace(-1, 3, 64), jnp.float32)
+
+    def run(opt):
+        p = {"w": jnp.zeros((64,), jnp.float32)}
+        groups = {"w": GroupSpec(0.05, 0.0, False)}
+        st = opt.init(p, groups)
+        for _ in range(80):
+            g = {"w": p["w"] - target}
+            st, upd = opt.update(st, g, p, groups, 1.0)
+            p = O.apply_updates(p, upd)
+        return np.asarray(p["w"])
+
+    w32 = run(O.adamw())
+    w16 = run(O.adamw(state_dtype="bfloat16"))
+    np.testing.assert_allclose(w16, w32, atol=0.1)
+
+
+def test_apply_updates_bf16_master_stochastic():
+    """bf16 master + sr_key: a sub-ulp update survives in expectation
+    (deterministic rounding would drop it to zero every step)."""
+    p = {"w": jnp.full((50_000,), 256.0, jnp.bfloat16)}  # ulp = 2.0
+    u = {"w": jnp.full((50_000,), 0.125, jnp.float32)}   # 1/16 ulp
+    det = O.apply_updates(p, u)  # round-to-nearest: unchanged
+    assert float(np.asarray(det["w"].astype(jnp.float32)).mean()) == 256.0
+    sto = O.apply_updates(p, u, sr_key=jax.random.key(0))
+    mean = float(np.asarray(sto["w"].astype(jnp.float32)).mean())
+    assert abs(mean - 256.125) < 0.03, mean
