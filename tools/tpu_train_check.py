@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "TRAIN_TPU_r02.json"))
+    ap.add_argument("--master-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 = bf16 master weights + bf16 optimizer "
+                         "state with stochastic-rounded updates "
+                         "(train.master_dtype equivalent)")
     args = ap.parse_args()
 
     import jax
@@ -55,9 +60,13 @@ def main():
     model = BaseModel(cfg.model, num_classes=num_classes)
     params = model.init(jax.random.key(0))
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    low = args.master_dtype == "bfloat16"
+    if low:
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     groups = O.build_group_tree(params, None, cfg.opt.lr, cfg.opt.wd)
-    optimizer = O.sgd(momentum=0.9, nesterov=True)
+    optimizer = O.sgd(momentum=0.9, nesterov=True,
+                      state_dtype="bfloat16" if low else None)
     opt_state = optimizer.init(params, groups)
     mixup = MixUp(alpha=0.1, label_smoothing={"action": 0.4},
                   num_classes=num_classes)
@@ -65,7 +74,8 @@ def main():
                     loss_wts={"cls_action": 1.0, "past_cls_action": 1.0,
                               "past_reg": 1.0},
                     mixup=mixup, mixup_backbone=True,
-                    compute_dtype="bfloat16")
+                    compute_dtype="bfloat16",
+                    master_dtype=args.master_dtype)
 
     # a small pool of fixed synthetic batches: the model must be able to fit
     # them for the loss to fall — that is the training-correctness signal
@@ -124,6 +134,7 @@ def main():
         "loss_last": round(loss_last, 4),
         "loss_every_50": losses_trace,
         "loss_decreased": loss_last < loss_first,
+        "master_dtype": args.master_dtype,
         "device": str(jax.devices()[0]),
     }
     assert result["loss_decreased"], \
