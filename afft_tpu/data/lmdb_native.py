@@ -22,9 +22,11 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
-        subprocess.check_call(["make", "-C", str(_NATIVE_DIR)],
-                              stdout=subprocess.DEVNULL)
+    # always invoke make (timestamp-aware, a no-op when current): a stale
+    # prebuilt .so from before an ABI addition would otherwise load and
+    # fail symbol registration below instead of being rebuilt
+    subprocess.check_call(["make", "-C", str(_NATIVE_DIR)],
+                          stdout=subprocess.DEVNULL)
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.afft_lmdb_open.restype = ctypes.c_void_p
     lib.afft_lmdb_open.argtypes = [ctypes.c_char_p]

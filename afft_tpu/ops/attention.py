@@ -25,13 +25,19 @@ import jax.numpy as jnp
 from ..models import layers as L
 
 
-def _use_pallas() -> bool:
+def pallas_enabled() -> bool:
+    """Shared kernel-dispatch gate: Pallas engages only on a TPU backend
+    and can be globally disabled with AFFT_DISABLE_PALLAS=1 (every fused
+    op in afft_tpu.ops routes through this one check)."""
     if os.environ.get("AFFT_DISABLE_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+_use_pallas = pallas_enabled
 
 
 def attention_reference(q, k, v, mask=None, *, attn_drop=0.0, train=False,

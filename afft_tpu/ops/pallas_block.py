@@ -70,13 +70,8 @@ def use_fused_block(x, dim: int, num_heads: int, mlp_hidden: int) -> bool:
     """Trace-time dispatch: engage the fused kernel for the per-timestep
     fusion shapes on TPU in inference (the XLA path stays the train /
     weight-returning / CPU / odd-shape path)."""
-    import os
-    if os.environ.get("AFFT_DISABLE_PALLAS"):
-        return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
+    from .attention import pallas_enabled
+    if not pallas_enabled():
         return False
     return (x.ndim == 3
             and x.dtype in (jnp.bfloat16, jnp.float32)

@@ -77,13 +77,8 @@ def supported(n_tokens: int, dim: int, num_heads: int, mlp_hidden: int,
 
 
 def use_fused_train_block(x, dim, num_heads, mlp_hidden, rng) -> bool:
-    import os
-    if os.environ.get("AFFT_DISABLE_PALLAS") or rng is None:
-        return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
+    from .attention import pallas_enabled
+    if rng is None or not pallas_enabled():
         return False
     return (x.ndim == 3 and x.dtype in (jnp.bfloat16, jnp.float32)
             and supported(x.shape[1], dim, num_heads, mlp_hidden,

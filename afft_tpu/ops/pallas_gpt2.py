@@ -77,13 +77,8 @@ def supported(batch, n_tokens: int, dim: int, num_heads: int,
 def use_fused_gpt2(x, num_heads: int, mlp_hidden: int) -> bool:
     """Trace-time dispatch: engage on TPU inference for tile-aligned
     batches (the XLA path remains the train / CPU / ragged-batch path)."""
-    import os
-    if os.environ.get("AFFT_DISABLE_PALLAS"):
-        return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
+    from .attention import pallas_enabled
+    if not pallas_enabled():
         return False
     return (x.ndim == 3
             and x.dtype in (jnp.bfloat16, jnp.float32)

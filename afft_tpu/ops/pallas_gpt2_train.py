@@ -60,13 +60,8 @@ def supported(batch, n_tokens, dim, num_heads, mlp_hidden,
 
 
 def use_fused_gpt2_train(x, num_heads, mlp_hidden, rng) -> bool:
-    import os
-    if os.environ.get("AFFT_DISABLE_PALLAS") or rng is None:
-        return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
+    from .attention import pallas_enabled
+    if rng is None or not pallas_enabled():
         return False
     return (x.ndim == 3 and x.dtype == jnp.bfloat16
             and supported(x.shape[0], x.shape[1], x.shape[2], num_heads,

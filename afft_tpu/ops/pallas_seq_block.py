@@ -53,13 +53,8 @@ def supported(batch, seq, dim, num_heads, mlp_hidden,
 
 
 def _use(x, dim, num_heads, mlp_hidden, seq_check=supported) -> bool:
-    import os
-    if os.environ.get("AFFT_DISABLE_PALLAS"):
-        return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
+    from .attention import pallas_enabled
+    if not pallas_enabled():
         return False
     return (x.ndim == 3 and x.dtype in (jnp.bfloat16, jnp.float32)
             and seq_check(x.shape[0], x.shape[1], dim, num_heads,

@@ -91,7 +91,11 @@ class _AsyncSaver:
             if path not in self._pending:
                 self._order.append(path)
             self._pending[path] = (payload, epoch)
-            if self._thread is None or not self._thread.is_alive():
+            if self._thread is None:
+                # liveness is tracked by this attribute, mutated only under
+                # the lock (the worker nulls it in its exit decision): a
+                # Thread.is_alive() check would race with a worker that has
+                # decided to exit but not yet died, stranding this payload
                 self._thread = threading.Thread(target=self._run,
                                                 name="ckpt-writer",
                                                 daemon=True)
@@ -103,6 +107,7 @@ class _AsyncSaver:
             with self._cv:
                 if not self._order:
                     self._busy = False
+                    self._thread = None
                     self._cv.notify_all()
                     return
                 path = self._order.pop(0)
@@ -112,10 +117,10 @@ class _AsyncSaver:
                 _write_and_swap(path, payload, epoch)
             except BaseException as e:  # surfaced on next submit()/wait()
                 with self._cv:
-                    self._error = e
-                    self._busy = False
-                    self._cv.notify_all()
-                return
+                    if self._error is None:
+                        self._error = e
+                # keep draining: queued saves to OTHER paths still get
+                # attempted (and wait() can terminate) after one failure
 
     def wait(self):
         with self._cv:
@@ -137,6 +142,28 @@ def wait_for_pending_saves():
     _ASYNC_SAVER.wait()
 
 
+def to_host_tree(tree):
+    """Device→host copy of a pytree for checkpointing.
+
+    Leaves already on the host pass through without copying — callers that
+    save the same state to several paths (best + last on an improving
+    epoch) can materialize once and share the result. bf16 leaves read
+    back via an fp32 cast: a direct np.asarray of a bf16 device array
+    aborts this TPU backend (see .claude/skills/verify)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    def leaf(x):
+        if isinstance(x, np.ndarray) or np.isscalar(x):
+            return x
+        if getattr(x, "dtype", None) == jnp.bfloat16:
+            return np.asarray(x.astype(jnp.float32)).astype(
+                ml_dtypes.bfloat16)
+        return np.asarray(x)
+
+    return jax.tree.map(leaf, tree)
+
+
 def save_checkpoint(path, params, opt_state, epoch: int, step: int,
                     best_metric: float, schedule_state: dict = None,
                     block: bool = True):
@@ -154,8 +181,8 @@ def save_checkpoint(path, params, opt_state, epoch: int, step: int,
         # resume, don't double the checkpoint size
         opt_state = {k: v for k, v in opt_state.items() if k != "params_c"}
     payload = {
-        "model": jax.tree.map(np.asarray, params),
-        "optimizer": jax.tree.map(np.asarray, opt_state),
+        "model": to_host_tree(params),
+        "optimizer": to_host_tree(opt_state),
         "epoch": epoch,
         "step": step,
         "best_metric": float(best_metric),

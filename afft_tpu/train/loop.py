@@ -31,6 +31,7 @@ from ..models.base_model import BaseModel
 from ..parallel.mesh import (init_distributed, make_mesh, replicate_tree,
                              shard_batch)
 from . import optim as O
+from . import checkpoint as CK
 from .checkpoint import (CKPT_BEST_DIRNAME, CKPT_LAST_DIRNAME,
                          init_from_model, load_checkpoint, save_checkpoint,
                          wait_for_pending_saves)
@@ -289,8 +290,19 @@ def main(cfg: Config, interactive: bool = True):
             # survives under .old-tmp; load_checkpoint recovers it
             or os.path.exists(last_path + ".old-tmp")):
         ckpt = load_checkpoint(last_path)
-        params = replicate_tree(mesh, ckpt["model"])
-        opt_state = replicate_tree(mesh, ckpt["optimizer"])
+        # reconcile restored dtypes with the configured master/state dtypes
+        # (the live params/opt_state templates embody them): resuming an
+        # fp32-master checkpoint under train.master_dtype=bfloat16 must not
+        # silently disable the bf16-master fast path (Runner keys its
+        # cast-skipping and stochastic rounding off the config), and a
+        # bf16-master checkpoint resumed at fp32 must upcast
+        cast_like = lambda tmpl, loaded: jax.tree.map(
+            lambda t, x: x.astype(t.dtype)
+            if hasattr(t, "dtype") and getattr(x, "dtype", t.dtype) != t.dtype
+            else x, tmpl, loaded)
+        params = replicate_tree(mesh, cast_like(params, ckpt["model"]))
+        opt_state = replicate_tree(mesh,
+                                   cast_like(opt_state, ckpt["optimizer"]))
         start_epoch = int(ckpt["epoch"])
         step_counter = int(ckpt["step"])
         best_metric = float(ckpt["best_metric"])
@@ -376,24 +388,34 @@ def main(cfg: Config, interactive: bool = True):
             # saves. train.save_last_every=N thins the resume checkpoint
             # cadence (the final epoch always saves).
             block = not cfg.train.get("async_checkpoint", True)
-            if primary is not None and primary > best_metric:
+            is_best = primary is not None and primary > best_metric
+            last_every = int(cfg.train.get("save_last_every") or 1)
+            is_last = (epoch + 1) % last_every == 0 \
+                or epoch + 1 == cfg.train.num_epochs
+            every = cfg.train.get("checkpoint_every")
+            is_every = bool(every) and (epoch + 1) % int(every) == 0
+            if is_best or is_last or is_every:
+                # one device->host copy per epoch, shared by every
+                # destination (save_checkpoint passes host leaves through)
+                host_params = CK.to_host_tree(params)
+                host_opt = CK.to_host_tree(
+                    {k: v for k, v in opt_state.items() if k != "params_c"}
+                    if isinstance(opt_state, dict) else opt_state)
+            if is_best:
                 best_metric = primary
                 save_checkpoint(os.path.join(ckpt_path, CKPT_BEST_DIRNAME),
-                                params, opt_state, epoch + 1, step_counter,
-                                best_metric, schedule_state=sched_state,
-                                block=block)
-            last_every = int(cfg.train.get("save_last_every") or 1)
-            if (epoch + 1) % last_every == 0 \
-                    or epoch + 1 == cfg.train.num_epochs:
-                save_checkpoint(last_path, params, opt_state, epoch + 1,
+                                host_params, host_opt, epoch + 1,
                                 step_counter, best_metric,
                                 schedule_state=sched_state, block=block)
-            every = cfg.train.get("checkpoint_every")
-            if every and (epoch + 1) % int(every) == 0:
+            if is_last:
+                save_checkpoint(last_path, host_params, host_opt, epoch + 1,
+                                step_counter, best_metric,
+                                schedule_state=sched_state, block=block)
+            if is_every:
                 save_checkpoint(
                     os.path.join(ckpt_path, f"checkpoint_epoch{epoch + 1}"),
-                    params, opt_state, epoch + 1, step_counter, best_metric,
-                    schedule_state=sched_state, block=block)
+                    host_params, host_opt, epoch + 1, step_counter,
+                    best_metric, schedule_state=sched_state, block=block)
             exp_logger.log({
                 **metric_tracker.get_all_data(is_training=True),
                 **metric_tracker.get_all_data(is_training=False),

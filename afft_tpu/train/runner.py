@@ -242,8 +242,11 @@ class Runner:
         opt_in = {k: v for k, v in opt_state.items() if k != "params_c"}
         opt_out, updates = self.optimizer.update(
             opt_in, grads, params, self.groups, lr_factor)
-        sr_key = jax.random.fold_in(rng_key, 0x5) if self._master_low \
-            else None
+        # large sentinel fold: RngStream draws fold_in(rng_key, 0..N) for
+        # the dropout sites, so a small constant here would collide with a
+        # mask key and correlate rounding noise with a dropout mask
+        sr_key = jax.random.fold_in(rng_key, 0x5A7E57A6) \
+            if self._master_low else None
         params = apply_updates(params, updates, sr_key=sr_key)
         if self._mixed and not self._master_low:
             # XLA fuses this cast into the update's elementwise pass (same

@@ -302,3 +302,93 @@ def test_async_checkpoint_error_surfaces(tmp_path, monkeypatch):
                       block=False)
     with pytest.raises(RuntimeError, match="async checkpoint"):
         C.wait_for_pending_saves()
+
+
+def test_async_checkpoint_error_does_not_strand_queue(tmp_path, monkeypatch):
+    """One failed write must not deadlock wait() nor drop later queued
+    saves to other paths: the writer keeps draining after an error."""
+    import numpy as np
+    from afft_tpu.train import checkpoint as C
+
+    real = C._write_and_swap
+
+    def flaky(path, payload, epoch):
+        if "bad" in str(path):
+            raise IOError("disk gone")
+        return real(path, payload, epoch)
+
+    monkeypatch.setattr(C, "_write_and_swap", flaky)
+    C.save_checkpoint(tmp_path / "bad", {"w": np.ones(2, np.float32)},
+                      {"m": np.zeros(2)}, epoch=1, step=1, best_metric=0.0,
+                      block=False)
+    C.save_checkpoint(tmp_path / "good", {"w": np.ones(2, np.float32)},
+                      {"m": np.zeros(2)}, epoch=2, step=2, best_metric=0.0,
+                      block=False)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        C.wait_for_pending_saves()  # must terminate AND surface the error
+    ckpt = C.load_checkpoint(tmp_path / "good")  # later save still landed
+    assert int(ckpt["epoch"]) == 2
+
+
+def test_to_host_tree_shares_and_handles_bf16():
+    """Host leaves pass through uncopied (one D2H per epoch shared by
+    best+last) and bf16 device leaves read back via the fp32-cast path."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    from afft_tpu.train.checkpoint import to_host_tree
+
+    host = {"a": np.arange(4, dtype=np.float32)}
+    out = to_host_tree(host)
+    assert out["a"] is host["a"]  # no copy
+
+    dev = {"b": jnp.asarray([1.5, 2.5], jnp.bfloat16),
+           "c": jnp.arange(3, dtype=jnp.int32)}
+    out = to_host_tree(dev)
+    assert out["b"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(out["b"].astype(np.float32), [1.5, 2.5])
+    np.testing.assert_array_equal(out["c"], [0, 1, 2])
+
+
+def test_resume_reconciles_master_dtype(monkeypatch):
+    """Resuming an fp32-master checkpoint under train.master_dtype=bfloat16
+    must cast the restored state (Runner keys its cast-skipping and
+    stochastic rounding off the config, so a dtype mismatch would silently
+    disable the bf16-master path)."""
+    import shutil
+    import ml_dtypes
+    import numpy as np
+    from run import read_file_into_cli
+    from afft_tpu.config import compose as compose_cfg
+    from afft_tpu.train.loop import main as train_main
+    from afft_tpu.train.checkpoint import load_checkpoint
+
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(__file__)))
+    ckpt_dir = "checkpoints/CMFPEarly_ModalTokenCMFuser_rgb_flow_resume-md"
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    ov = read_file_into_cli("expts/99_synth_smoke_train.txt")
+    ov = [o for o in ov if not o.startswith("train.num_epochs")
+          and not o.startswith("experiment_name")]
+    ov += ["experiment_name=resume-md", "use_wandb=false", "workers=2"]
+
+    # epoch 1 with fp32 masters
+    train_main(compose_cfg("afft_tpu/conf", ov + ["train.num_epochs=1"]),
+               interactive=False)
+    first = load_checkpoint(os.path.join(ckpt_dir, "checkpoint_last"))
+    leaf32 = next(x for x in jax.tree.leaves(first["model"])
+                  if np.issubdtype(np.asarray(x).dtype, np.floating))
+    assert np.asarray(leaf32).dtype == np.float32
+
+    # epoch 2 resumed under bf16-master: saved checkpoint must be bf16
+    train_main(compose_cfg("afft_tpu/conf", ov + [
+        "train.num_epochs=2", "train.resume=true",
+        "model.compute_dtype=bfloat16", "train.master_dtype=bfloat16"]),
+        interactive=False)
+    second = load_checkpoint(os.path.join(ckpt_dir, "checkpoint_last"))
+    assert int(second["epoch"]) == 2
+    leaf16 = next(x for x in jax.tree.leaves(second["model"])
+                  if np.asarray(x).dtype != np.int32
+                  and not np.issubdtype(np.asarray(x).dtype, np.integer))
+    assert np.asarray(leaf16).dtype == np.dtype(ml_dtypes.bfloat16)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
