@@ -280,7 +280,16 @@ def main(cfg: Config, interactive: bool = True):
 
     mesh = make_mesh()
     params = replicate_tree(mesh, params)
-    opt_state = replicate_tree(mesh, opt_state)
+    if cfg.train.get("zero_sharding"):
+        # ZeRO-1: optimizer state sharded over the data axis; GSPMD turns
+        # the DP update into reduce-scatter -> local update -> all-gather
+        from ..parallel.sharding import shard_opt_state
+        place_opt_state = lambda t: shard_opt_state(mesh, t)
+        log.info("optimizer state sharded over %d-way data axis (ZeRO-1)",
+                 mesh.devices.size)
+    else:
+        place_opt_state = lambda t: replicate_tree(mesh, t)
+    opt_state = place_opt_state(opt_state)
 
     start_epoch, step_counter, best_metric = 0, 0, 0.0
     last_path = os.path.join(ckpt_path, CKPT_LAST_DIRNAME)
@@ -301,8 +310,7 @@ def main(cfg: Config, interactive: bool = True):
             if hasattr(t, "dtype") and getattr(x, "dtype", t.dtype) != t.dtype
             else x, tmpl, loaded)
         params = replicate_tree(mesh, cast_like(params, ckpt["model"]))
-        opt_state = replicate_tree(mesh,
-                                   cast_like(opt_state, ckpt["optimizer"]))
+        opt_state = place_opt_state(cast_like(opt_state, ckpt["optimizer"]))
         start_epoch = int(ckpt["epoch"])
         step_counter = int(ckpt["step"])
         best_metric = float(ckpt["best_metric"])

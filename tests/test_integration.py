@@ -414,3 +414,42 @@ def test_int8_feature_quantization_logit_tolerance():
     assert rel < 0.05, f"int8 features shifted logits by rel {rel}"
     # ranking preserved: top-1 agreement on every row
     np.testing.assert_array_equal(l32.argmax(-1), l8.argmax(-1))
+
+
+def test_zero1_sharded_opt_state_matches_replicated():
+    """train.zero_sharding: optimizer state sharded over the data axis
+    (ZeRO-1) must produce identical params/momentum to the replicated
+    placement — GSPMD's reduce-scatter/all-gather are semantically
+    invisible — and the state must actually be sharded per chip."""
+    from afft_tpu.parallel.sharding import shard_opt_state
+
+    cfg = tiny_cfg()
+    batch = make_batch(cfg)
+    mesh = make_mesh(jax.devices())  # 8-device data mesh
+    db = shard_batch(mesh, batch)
+    results = {}
+    for zero in (False, True):
+        model, params, opt_state, runner = build_runner(cfg, mixup=False,
+                                                        donate=False)
+        p = replicate_tree(mesh, params)
+        s = shard_opt_state(mesh, opt_state) if zero \
+            else replicate_tree(mesh, opt_state)
+        if zero:
+            # leaves with a divisible dim are genuinely sharded (a 13-class
+            # bias legitimately stays replicated)
+            sharded = [m for m in jax.tree.leaves(s["momentum"])
+                       if m.ndim and m.addressable_shards[0].data.shape
+                       != m.shape]
+            assert len(sharded) > 10, len(sharded)
+        for step in range(3):
+            p, s, losses, _, _ = runner.train_step(p, s, db, 0.01, 0.01,
+                                                   jax.random.key(step))
+        results[zero] = (float(losses["total_loss"]),
+                         np.asarray(jax.tree.leaves(p)[0]),
+                         np.asarray(jax.tree.leaves(s["momentum"])[0]
+                                    .astype(jnp.float32)))
+    assert np.isclose(results[False][0], results[True][0], rtol=1e-5)
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results[False][2], results[True][2],
+                               rtol=1e-5, atol=1e-6)
