@@ -22,11 +22,21 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    # always invoke make (timestamp-aware, a no-op when current): a stale
-    # prebuilt .so from before an ABI addition would otherwise load and
-    # fail symbol registration below instead of being rebuilt
-    subprocess.check_call(["make", "-C", str(_NATIVE_DIR)],
-                          stdout=subprocess.DEVNULL)
+    # rebuild when the .so is missing or older than its source (a stale
+    # prebuilt .so from before an ABI addition would load and fail symbol
+    # registration below); if the toolchain is absent but a current-enough
+    # .so exists, fall back to loading it rather than hard-failing
+    src = _NATIVE_DIR / "lmdb_reader.cpp"
+    stale = (not _LIB_PATH.exists()
+             or (src.exists()
+                 and src.stat().st_mtime > _LIB_PATH.stat().st_mtime))
+    if stale:
+        try:
+            subprocess.check_call(["make", "-C", str(_NATIVE_DIR)],
+                                  stdout=subprocess.DEVNULL)
+        except (OSError, subprocess.CalledProcessError):
+            if not _LIB_PATH.exists():
+                raise
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.afft_lmdb_open.restype = ctypes.c_void_p
     lib.afft_lmdb_open.argtypes = [ctypes.c_char_p]

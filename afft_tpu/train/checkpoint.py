@@ -83,7 +83,7 @@ class _AsyncSaver:
         self._order: List[Path] = []
         self._thread = None
         self._busy = False
-        self._error = None
+        self._errors: List = []  # every failed (path, exc), not just first
 
     def submit(self, path: Path, payload: dict, epoch):
         with self._cv:
@@ -117,8 +117,7 @@ class _AsyncSaver:
                 _write_and_swap(path, payload, epoch)
             except BaseException as e:  # surfaced on next submit()/wait()
                 with self._cv:
-                    if self._error is None:
-                        self._error = e
+                    self._errors.append((str(path), e))
                 # keep draining: queued saves to OTHER paths still get
                 # attempted (and wait() can terminate) after one failure
 
@@ -128,9 +127,11 @@ class _AsyncSaver:
             self._raise_pending_error()
 
     def _raise_pending_error(self):
-        if self._error is not None:
-            e, self._error = self._error, None
-            raise RuntimeError("async checkpoint save failed") from e
+        if self._errors:
+            errs, self._errors = self._errors, []
+            detail = "; ".join(f"{p}: {e!r}" for p, e in errs)
+            raise RuntimeError(
+                f"async checkpoint save failed ({detail})") from errs[0][1]
 
 
 _ASYNC_SAVER = _AsyncSaver()
@@ -152,10 +153,17 @@ def to_host_tree(tree):
     aborts this TPU backend (see .claude/skills/verify)."""
     import jax.numpy as jnp
     import ml_dtypes
+    from jax.sharding import NamedSharding, PartitionSpec
 
     def leaf(x):
         if isinstance(x, np.ndarray) or np.isscalar(x):
             return x
+        if hasattr(x, "sharding") and not x.is_fully_addressable:
+            # sharded state (ZeRO-1 on a multi-host mesh): all-gather to
+            # replicated before reading back — np.asarray of an array
+            # spanning non-addressable devices raises
+            repl = NamedSharding(x.sharding.mesh, PartitionSpec())
+            x = jax.jit(lambda a: a, out_shardings=repl)(x)
         if getattr(x, "dtype", None) == jnp.bfloat16:
             return np.asarray(x.astype(jnp.float32)).astype(
                 ml_dtypes.bfloat16)

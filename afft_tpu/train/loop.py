@@ -31,10 +31,9 @@ from ..models.base_model import BaseModel
 from ..parallel.mesh import (init_distributed, make_mesh, replicate_tree,
                              shard_batch)
 from . import optim as O
-from . import checkpoint as CK
 from .checkpoint import (CKPT_BEST_DIRNAME, CKPT_LAST_DIRNAME,
                          init_from_model, load_checkpoint, save_checkpoint,
-                         wait_for_pending_saves)
+                         to_host_tree, wait_for_pending_saves)
 from .metrics import MetricTracker
 from .mixup import MixUp
 from .runner import Runner
@@ -282,9 +281,14 @@ def main(cfg: Config, interactive: bool = True):
     params = replicate_tree(mesh, params)
     if cfg.train.get("zero_sharding"):
         # ZeRO-1: optimizer state sharded over the data axis; GSPMD turns
-        # the DP update into reduce-scatter -> local update -> all-gather
+        # the DP update into reduce-scatter -> local update -> all-gather.
+        # Updated params are pinned replicated inside the step (Runner
+        # param_shardings) so the shard never propagates onto the weights.
+        from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel.sharding import shard_opt_state
         place_opt_state = lambda t: shard_opt_state(mesh, t)
+        repl = NamedSharding(mesh, PartitionSpec())
+        runner.param_shardings = jax.tree.map(lambda _: repl, params)
         log.info("optimizer state sharded over %d-way data axis (ZeRO-1)",
                  mesh.devices.size)
     else:
@@ -405,8 +409,8 @@ def main(cfg: Config, interactive: bool = True):
             if is_best or is_last or is_every:
                 # one device->host copy per epoch, shared by every
                 # destination (save_checkpoint passes host leaves through)
-                host_params = CK.to_host_tree(params)
-                host_opt = CK.to_host_tree(
+                host_params = to_host_tree(params)
+                host_opt = to_host_tree(
                     {k: v for k, v in opt_state.items() if k != "params_c"}
                     if isinstance(opt_state, dict) else opt_state)
             if is_best:

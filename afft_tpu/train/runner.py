@@ -52,7 +52,7 @@ class Runner:
                  compute_dtype=jnp.float32, donate: bool = True,
                  watch_gradients: bool = False,
                  class_weights: Optional[Dict] = None,
-                 master_dtype=jnp.float32):
+                 master_dtype=jnp.float32, param_shardings=None):
         self.model = model
         self.optimizer = optimizer
         self.groups = groups
@@ -76,6 +76,12 @@ class Runner:
         self._master_low = self._mixed and \
             self.master_dtype == self.compute_dtype
         self.watch_gradients = watch_gradients
+        # pytree of NamedShardings to pin the UPDATED params to (ZeRO-1:
+        # optimizer state is data-sharded, so without this constraint
+        # GSPMD propagates the shard through apply_updates onto the
+        # returned params — every later forward would all-gather weights
+        # on demand, ZeRO-3-style, instead of one gather at the update)
+        self.param_shardings = param_shardings
         donate_argnums = (0, 1, 5) if donate else ()
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=donate_argnums)
@@ -248,6 +254,9 @@ class Runner:
         sr_key = jax.random.fold_in(rng_key, 0x5A7E57A6) \
             if self._master_low else None
         params = apply_updates(params, updates, sr_key=sr_key)
+        if self.param_shardings is not None:
+            params = jax.lax.with_sharding_constraint(params,
+                                                      self.param_shardings)
         if self._mixed and not self._master_low:
             # XLA fuses this cast into the update's elementwise pass (same
             # per-leaf fusion group), so the copy costs only its write

@@ -441,9 +441,24 @@ def test_zero1_sharded_opt_state_matches_replicated():
                        if m.ndim and m.addressable_shards[0].data.shape
                        != m.shape]
             assert len(sharded) > 10, len(sharded)
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(mesh, PartitionSpec())
+            runner.param_shardings = jax.tree.map(lambda _: repl, p)
         for step in range(3):
             p, s, losses, _, _ = runner.train_step(p, s, db, 0.01, 0.01,
                                                    jax.random.key(step))
+        if zero:
+            # placements must SURVIVE the step: params pinned replicated
+            # (otherwise the momentum shard propagates onto the weights and
+            # every later forward all-gathers them, ZeRO-3-style), momentum
+            # still sharded (the HBM saving)
+            for leaf in jax.tree.leaves(p):
+                assert leaf.addressable_shards[0].data.shape == leaf.shape, \
+                    leaf.sharding
+            still = [m for m in jax.tree.leaves(s["momentum"])
+                     if m.ndim and m.addressable_shards[0].data.shape
+                     != m.shape]
+            assert len(still) > 10, len(still)
         results[zero] = (float(losses["total_loss"]),
                          np.asarray(jax.tree.leaves(p)[0]),
                          np.asarray(jax.tree.leaves(s["momentum"])[0]
