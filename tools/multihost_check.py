@@ -94,6 +94,31 @@ def worker(rank: int):
     loss = float(losses["total_loss"])
     print(f"RANK{rank} LOSS {loss:.6f}", flush=True)
 
+    # ZeRO-1 across processes: optimizer state sharded over the GLOBAL
+    # data axis (each process holds only its slice), params pinned
+    # replicated inside the step; same batch/rng must give the same loss,
+    # and the sharded state must read back through to_host_tree's
+    # all-gather path (multi-host checkpointing)
+    from afft_tpu.parallel.sharding import shard_opt_state
+    from afft_tpu.train.checkpoint import to_host_tree
+    params_z = replicate_tree(mesh, model.init(jax.random.key(0)))
+    opt_z = shard_opt_state(mesh, opt.init(params_z, groups))
+    repl = NamedSharding(mesh, P())
+    runner_z = Runner(model, opt, groups,
+                      loss_wts={"cls_action": 1.0, "past_cls_action": 1.0,
+                                "past_reg": 1.0}, mixup=None, donate=False,
+                      param_shardings=jax.tree.map(lambda _: repl, params_z))
+    params_z, opt_z, losses_z, _, _ = runner_z.train_step(
+        params_z, opt_z, device_batch, 0.01, 0.01, jax.random.key(1))
+    loss_z = float(losses_z["total_loss"])
+    assert abs(loss_z - loss) < 1e-5, (loss_z, loss)
+    host_mom = to_host_tree(opt_z["momentum"])
+    import jax.tree_util as jtu
+    for dev, host in zip(jtu.tree_leaves(opt_z["momentum"]),
+                         jtu.tree_leaves(host_mom)):
+        assert host.shape == dev.shape, (host.shape, dev.shape)
+    print(f"RANK{rank} ZERO1 {loss_z:.6f}", flush=True)
+
 
 def flagship_worker(rank: int):
     """Per-host input pipeline at flagship dims on the 2-process mesh:
@@ -210,14 +235,19 @@ def main():
             f"input pipeline too slow: {worst} ms/batch vs " \
             f"{TRAIN_STEP_BUDGET_MS} ms step budget"
         return
-    losses = []
+    losses, zlosses = [], []
     for r, out in enumerate(outs):
         for line in out.splitlines():
             if line.startswith(f"RANK{r} LOSS"):
                 losses.append(float(line.split()[-1]))
+            if line.startswith(f"RANK{r} ZERO1"):
+                zlosses.append(float(line.split()[-1]))
     assert len(losses) == 2, f"missing rank outputs:\n{outs[0]}\n{outs[1]}"
     assert abs(losses[0] - losses[1]) < 1e-6, losses
-    print(f"multihost check ok: both ranks computed loss {losses[0]:.6f}")
+    assert len(zlosses) == 2 and abs(zlosses[0] - zlosses[1]) < 1e-6, \
+        (zlosses, outs[0][-500:])
+    print(f"multihost check ok: both ranks computed loss {losses[0]:.6f} "
+          f"(ZeRO-1 cross-process leg: {zlosses[0]:.6f})")
 
 
 if __name__ == "__main__":
