@@ -69,3 +69,37 @@ def test_bundle_rejects_wrong_shapes(tmp_path):
     except Exception:
         raised = True
     assert raised, "bundle must reject mismatched input shapes"
+
+
+def test_bundle_rollout_output_len(tmp_path):
+    """fp_output_len>1 exports the KV-cache multi-step rollout graph:
+    the replayed bundle returns (B, output_len, C) and matches the live
+    model's rollout exactly."""
+    from export_serving import build_serving_fn, export_bundle
+    from serve_bundle import load_bundle
+    from afft_tpu.config import compose
+
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb: 16, flow: 16}", "model.common_dim=16",
+        "model.fuser.depth=1", "model.fuser.num_heads=2",
+        "model.common.fp_inter_dim=16", "model.common.fp_layers=1",
+        "model.common.fp_heads=2", "model.dropout=0.0",
+        "model.common.fp_output_len=3",
+        "data_eval.num_frames=6"])
+    num_classes = {"action": 11}
+    bundle = str(tmp_path / "bundle")
+    export_bundle(cfg, bundle, num_classes, batch=4, n_frames=6,
+                  dtype="float32", log=lambda *a: None)
+
+    _, params, fwd = build_serving_fn(cfg, num_classes, "float32")
+    rng = np.random.default_rng(0)
+    feats = {m: jnp.asarray(rng.standard_normal((4, 6, 16)), jnp.float32)
+             for m in ("rgb", "flow")}
+    ref = fwd(params, feats)
+    assert ref.shape == (4, 3, 11)
+
+    fn, loaded_params, meta = load_bundle(bundle)
+    assert meta["output_len"] == 3
+    out = fn(loaded_params, feats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

@@ -55,11 +55,19 @@ def build_serving_fn(cfg, num_classes, dtype):
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
+    output_len = int(cfg.model.common.get("fp_output_len") or 1)
+
     def fwd(p, feats):
         outputs, _ = model.apply(p, feats, train=False)
         heads = outputs["logits/action"]
         modk = "all-fused" if "all-fused" in heads else next(iter(heads))
-        return heads[modk][:, 0, :].astype(jnp.float32)
+        logits = heads[modk]
+        # single-step serving keeps the (B, C) contract; multi-step
+        # rollouts (fp_output_len>1, KV-cache decode) export every
+        # anticipated step (B, output_len, C)
+        if output_len == 1:
+            logits = logits[:, 0, :]
+        return logits.astype(jnp.float32)
 
     return model, params, fwd
 
@@ -97,6 +105,7 @@ def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
         jax.tree.map(np.asarray, params), force=True)
     meta = {
         "batch": batch,
+        "output_len": int(cfg.model.common.get("fp_output_len") or 1),
         "num_frames": n_frames,
         "modal_dims": modal_dims,
         "feat_dtype": dtype,
@@ -131,11 +140,16 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--out", default=os.path.join(REPO, "serving_bundle"))
+    ap.add_argument("--output-len", type=int, default=None,
+                    help="override model.common.fp_output_len (>1 exports "
+                         "the KV-cache multi-step rollout graph)")
     args = ap.parse_args()
 
     from afft_tpu.config import compose
+    extra = [f"model.common.fp_output_len={args.output_len}"] \
+        if args.output_len else []
     cfg = compose(os.path.join(REPO, "afft_tpu/conf"),
-                  read_expt_overrides(args.cfg))
+                  read_expt_overrides(args.cfg) + extra)
     num_classes = {k: int(v) for k, v in
                    (kv.split(":") for kv in args.num_classes.split(","))}
     n_frames = int(cfg.data_eval.num_frames)
