@@ -468,3 +468,43 @@ def test_zero1_sharded_opt_state_matches_replicated():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results[False][2], results[True][2],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_zero1_composes_with_tensor_parallel():
+    """ZeRO-1 over the data axis composed with TP over the model axis on a
+    2-D mesh: momentum carries BOTH shardings, updated params keep their
+    TP placement, results match the replicated run."""
+    from afft_tpu.parallel.sharding import (make_mesh_2d, shard_opt_state,
+                                            shard_params)
+
+    cfg = tiny_cfg()
+    batch = make_batch(cfg)
+    results = {}
+    for mode in ("dp", "tp+zero"):
+        model, params, opt_state, runner = build_runner(cfg, mixup=False,
+                                                        donate=False)
+        if mode == "dp":
+            mesh = make_mesh(jax.devices()[:8])
+            p = replicate_tree(mesh, params)
+            s = replicate_tree(mesh, opt_state)
+        else:
+            mesh = make_mesh_2d(4, 2)
+            p = shard_params(mesh, params)
+            s = shard_opt_state(mesh, opt_state)
+            # pin updated params to their TP placement (as loop.py pins
+            # them replicated on the 1-D mesh)
+            runner.param_shardings = jax.tree.map(lambda x: x.sharding, p)
+            two_axis = [
+                m for m in jax.tree.leaves(s["momentum"])
+                if m.ndim >= 2 and sum(ax is not None for ax in
+                                       m.sharding.spec) >= 2]
+            assert two_axis, "no momentum leaf sharded on both axes"
+        db = shard_batch(mesh, batch)
+        for step in range(2):
+            p, s, losses, _, _ = runner.train_step(p, s, db, 0.01, 0.01,
+                                                   jax.random.key(step))
+        results[mode] = (float(losses["total_loss"]),
+                         np.asarray(jax.tree.leaves(p)[0]))
+    assert np.isclose(results["dp"][0], results["tp+zero"][0], rtol=1e-5)
+    np.testing.assert_allclose(results["dp"][1], results["tp+zero"][1],
+                               rtol=1e-5, atol=1e-6)
