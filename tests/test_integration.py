@@ -286,7 +286,7 @@ def test_multiprocess_distributed(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "multihost_check.py")],
-        capture_output=True, text=True, timeout=280, env=env, cwd=repo)
+        capture_output=True, text=True, timeout=560, env=env, cwd=repo)
     assert "multihost check ok" in res.stdout, \
         f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
 
@@ -384,7 +384,7 @@ def test_multiprocess_sharded_eval():
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "tools",
                                       "multiproc_eval_check.py")],
-        capture_output=True, text=True, timeout=280, env=env, cwd=repo)
+        capture_output=True, text=True, timeout=560, env=env, cwd=repo)
     assert "multiproc eval ok" in res.stdout, \
         f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
 

@@ -211,7 +211,7 @@ def main():
     procs = [subprocess.Popen(cmd + [str(r)], stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for r in range(2)]
-    outs = [p.communicate(timeout=1200 if flagship else 300)[0]
+    outs = [p.communicate(timeout=1200 if flagship else 540)[0]
             for p in procs]
     if flagship:
         stats = []
