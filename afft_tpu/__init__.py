@@ -8,3 +8,19 @@ tooling (MT5R, marginalization, h5 logits, late fusion).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Honor an explicit platform override BEFORE any backend initializes: on
+# this image the TPU plugin registers (and pings its worker) even under
+# JAX_PLATFORM(S)=cpu, so a CPU-forced CLI run can hang whenever the TPU
+# worker is wedged; jax.config.update bypasses plugin discovery.
+# JAX_PLATFORM_NAME takes precedence because the image's shell profile
+# exports JAX_PLATFORMS=axon globally — that is the default, not a
+# per-run override.
+_plat = _os.environ.get("JAX_PLATFORM_NAME") or _os.environ.get(
+    "JAX_PLATFORMS")
+if _plat and "axon" not in _plat.split(","):
+    import jax as _jax
+    _jax.config.update("jax_platforms", _plat)
+del _os, _plat

@@ -34,9 +34,17 @@ def _load_lib():
         try:
             subprocess.check_call(["make", "-C", str(_NATIVE_DIR)],
                                   stdout=subprocess.DEVNULL)
-        except (OSError, subprocess.CalledProcessError):
+        except (OSError, subprocess.CalledProcessError) as e:
             if not _LIB_PATH.exists():
                 raise
+            # fall back to the existing (but OUT-OF-DATE) library: loudly,
+            # so a later wrong read / missing symbol is traceable to the
+            # failed rebuild rather than silent
+            import logging
+            logging.getLogger(__name__).warning(
+                "native lmdb reader rebuild failed (%s); loading the "
+                "STALE %s built before %s was last modified — parser "
+                "behavior may lag the source", e, _LIB_PATH.name, src.name)
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.afft_lmdb_open.restype = ctypes.c_void_p
     lib.afft_lmdb_open.argtypes = [ctypes.c_char_p]

@@ -153,23 +153,51 @@ def to_host_tree(tree):
     aborts this TPU backend (see .claude/skills/verify)."""
     import jax.numpy as jnp
     import ml_dtypes
-    from jax.sharding import NamedSharding, PartitionSpec
+
+    leaves, treedef = jax.tree.flatten(tree)
+    # sharded state (ZeRO-1 / multi-host meshes): all-gather to replicated
+    # before readback — np.asarray of an array spanning non-addressable
+    # devices raises. ONE jitted gather per mesh covers all such leaves (a
+    # fresh per-leaf jit wrapper would re-trace and dispatch one program
+    # per optimizer-state leaf on every save). NOTE: the gather is a
+    # collective — to_host_tree must run on EVERY process of a multi-host
+    # mesh (loop.py materializes on all ranks, writes on rank 0 only).
+    by_mesh = {}
+    for i, x in enumerate(leaves):
+        if hasattr(x, "sharding") and not x.is_fully_addressable:
+            by_mesh.setdefault(x.sharding.mesh, []).append(i)
+    for mesh, idxs in by_mesh.items():
+        gathered = _replicating_gather(mesh)(tuple(leaves[i] for i in idxs))
+        for i, g in zip(idxs, gathered):
+            leaves[i] = g
 
     def leaf(x):
         if isinstance(x, np.ndarray) or np.isscalar(x):
             return x
-        if hasattr(x, "sharding") and not x.is_fully_addressable:
-            # sharded state (ZeRO-1 on a multi-host mesh): all-gather to
-            # replicated before reading back — np.asarray of an array
-            # spanning non-addressable devices raises
-            repl = NamedSharding(x.sharding.mesh, PartitionSpec())
-            x = jax.jit(lambda a: a, out_shardings=repl)(x)
         if getattr(x, "dtype", None) == jnp.bfloat16:
+            # fp32-cast readback: direct np.asarray of a bf16 device array
+            # aborts this TPU backend (see .claude/skills/verify)
             return np.asarray(x.astype(jnp.float32)).astype(
                 ml_dtypes.bfloat16)
         return np.asarray(x)
 
-    return jax.tree.map(leaf, tree)
+    return jax.tree.unflatten(treedef, [leaf(x) for x in leaves])
+
+
+_GATHER_JITS = {}
+
+
+def _replicating_gather(mesh):
+    """Cached jitted identity with replicated out_shardings for ``mesh``
+    (the jit executable cache is per-wrapper, so the wrapper must be
+    reused across checkpoint saves)."""
+    fn = _GATHER_JITS.get(mesh)
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        fn = jax.jit(lambda xs: xs,
+                     out_shardings=NamedSharding(mesh, PartitionSpec()))
+        _GATHER_JITS[mesh] = fn
+    return fn
 
 
 def save_checkpoint(path, params, opt_state, epoch: int, step: int,

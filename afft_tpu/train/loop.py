@@ -278,7 +278,6 @@ def main(cfg: Config, interactive: bool = True):
     metric_tracker = MetricTracker(num_classes)
 
     mesh = make_mesh()
-    params = replicate_tree(mesh, params)
     if cfg.train.get("zero_sharding"):
         # ZeRO-1: optimizer state sharded over the data axis; GSPMD turns
         # the DP update into reduce-scatter -> local update -> all-gather.
@@ -293,7 +292,6 @@ def main(cfg: Config, interactive: bool = True):
                  mesh.devices.size)
     else:
         place_opt_state = lambda t: replicate_tree(mesh, t)
-    opt_state = place_opt_state(opt_state)
 
     start_epoch, step_counter, best_metric = 0, 0, 0.0
     last_path = os.path.join(ckpt_path, CKPT_LAST_DIRNAME)
@@ -304,11 +302,13 @@ def main(cfg: Config, interactive: bool = True):
             or os.path.exists(last_path + ".old-tmp")):
         ckpt = load_checkpoint(last_path)
         # reconcile restored dtypes with the configured master/state dtypes
-        # (the live params/opt_state templates embody them): resuming an
-        # fp32-master checkpoint under train.master_dtype=bfloat16 must not
-        # silently disable the bf16-master fast path (Runner keys its
-        # cast-skipping and stochastic rounding off the config), and a
-        # bf16-master checkpoint resumed at fp32 must upcast
+        # (the live params/opt_state trees are only dtype TEMPLATES here —
+        # placement happens once, below, on whichever source wins):
+        # resuming an fp32-master checkpoint under
+        # train.master_dtype=bfloat16 must not silently disable the
+        # bf16-master fast path (Runner keys its cast-skipping and
+        # stochastic rounding off the config), and a bf16-master
+        # checkpoint resumed at fp32 must upcast
         cast_like = lambda tmpl, loaded: jax.tree.map(
             lambda t, x: x.astype(t.dtype)
             if hasattr(t, "dtype") and getattr(x, "dtype", t.dtype) != t.dtype
@@ -325,6 +325,12 @@ def main(cfg: Config, interactive: bool = True):
                 {k: v.item() if hasattr(v, "item") else v
                  for k, v in ckpt["schedule"].items()})
         log.info("Resumed from %s at epoch %d", last_path, start_epoch)
+    else:
+        # fresh run: place the initialized trees (on resume the restored
+        # trees are placed above instead — placing both would transfer
+        # GiB-scale state twice at startup)
+        params = replicate_tree(mesh, params)
+        opt_state = place_opt_state(opt_state)
 
     # optional HBM-resident feature cache: per-batch host traffic becomes a
     # tiny index upload (see afft_tpu/data/device_cache.py). Requires the
@@ -387,34 +393,41 @@ def main(cfg: Config, interactive: bool = True):
             if plateau_metric is not None:
                 observe(float(plateau_metric))
 
+        # checkpoint decisions + device->host materialization run on EVERY
+        # process: metric_tracker is already all-reduced (identical
+        # decisions), and to_host_tree may launch a collective gather for
+        # non-fully-addressable leaves (multi-host / ZeRO state) — rank-0-
+        # only execution would deadlock the other ranks' next collective.
+        # Only logging and the disk write below are master-only.
+        sched_state = getattr(lr_schedule, "state_dict", lambda: None)()
+        primary = metric_tracker.get_data(cfg.primary_metric,
+                                          is_training=False)
+        # async (default): the device→host copy happens here, the
+        # minutes-long disk write on a background thread (newest-wins
+        # per path), overlapped with subsequent epochs; joined after
+        # the loop. train.async_checkpoint=false restores blocking
+        # saves. train.save_last_every=N thins the resume checkpoint
+        # cadence (the final epoch always saves).
+        block = not cfg.train.get("async_checkpoint", True)
+        is_best = primary is not None and primary > best_metric
+        last_every = int(cfg.train.get("save_last_every") or 1)
+        is_last = (epoch + 1) % last_every == 0 \
+            or epoch + 1 == cfg.train.num_epochs
+        every = cfg.train.get("checkpoint_every")
+        is_every = bool(every) and (epoch + 1) % int(every) == 0
+        if is_best or is_last or is_every:
+            # one device->host copy per epoch, shared by every
+            # destination (save_checkpoint passes host leaves through)
+            host_params = to_host_tree(params)
+            host_opt = to_host_tree(
+                {k: v for k, v in opt_state.items() if k != "params_c"}
+                if isinstance(opt_state, dict) else opt_state)
+        if is_best:
+            best_metric = primary
         if is_master:
             log.info(metric_tracker.to_string(is_training=True))
             log.info(metric_tracker.to_string(is_training=False))
-            sched_state = getattr(lr_schedule, "state_dict", lambda: None)()
-            primary = metric_tracker.get_data(cfg.primary_metric,
-                                              is_training=False)
-            # async (default): the device→host copy happens here, the
-            # minutes-long disk write on a background thread (newest-wins
-            # per path), overlapped with subsequent epochs; joined after
-            # the loop. train.async_checkpoint=false restores blocking
-            # saves. train.save_last_every=N thins the resume checkpoint
-            # cadence (the final epoch always saves).
-            block = not cfg.train.get("async_checkpoint", True)
-            is_best = primary is not None and primary > best_metric
-            last_every = int(cfg.train.get("save_last_every") or 1)
-            is_last = (epoch + 1) % last_every == 0 \
-                or epoch + 1 == cfg.train.num_epochs
-            every = cfg.train.get("checkpoint_every")
-            is_every = bool(every) and (epoch + 1) % int(every) == 0
-            if is_best or is_last or is_every:
-                # one device->host copy per epoch, shared by every
-                # destination (save_checkpoint passes host leaves through)
-                host_params = to_host_tree(params)
-                host_opt = to_host_tree(
-                    {k: v for k, v in opt_state.items() if k != "params_c"}
-                    if isinstance(opt_state, dict) else opt_state)
             if is_best:
-                best_metric = primary
                 save_checkpoint(os.path.join(ckpt_path, CKPT_BEST_DIRNAME),
                                 host_params, host_opt, epoch + 1,
                                 step_counter, best_metric,
