@@ -394,7 +394,38 @@ FLOPS_PER_CLIP = 23.0e9
 V5E_BF16_PEAK = 197e12  # TPU v5e spec peak, bf16 (394 TOPS is the int8 peak)
 
 
+def wait_for_tpu(max_wait_s=2400, probe_timeout_s=100):
+    """Preflight: the tunneled TPU worker routinely wedges for 5-15+ min
+    after any job exits (probe hangs instead of failing). Probe in a
+    SUBPROCESS (a wedged client would hang this process's own backend)
+    and wait-retry so a bench launched into a wedge window still runs."""
+    import subprocess
+    import sys
+    import time as _t
+
+    probe = ("import jax, jax.numpy as jnp, numpy as np;"
+             "x = jnp.ones((256, 256), jnp.bfloat16);"
+             "print(np.asarray((x @ x).astype(jnp.float32))[0, 0])")
+    deadline = _t.time() + max_wait_s
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=probe_timeout_s,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if _t.time() > deadline:
+                raise RuntimeError(
+                    f"TPU worker unresponsive for {max_wait_s}s; aborting "
+                    "bench instead of hanging")
+            print(f"# TPU worker wedged; retrying probe "
+                  f"({int(deadline - _t.time())}s left)", file=sys.stderr)
+            _t.sleep(60)
+
+
 def main():
+    wait_for_tpu()
     value = bench_end_to_end()
     # physical sanity: implied sustained FLOPS must be below chip peak,
     # otherwise the synchronization is broken and the number is an artifact
