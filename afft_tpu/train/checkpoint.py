@@ -126,6 +126,10 @@ class _AsyncSaver:
             self._cv.wait_for(lambda: not self._order and not self._busy)
             self._raise_pending_error()
 
+    def has_pending(self) -> bool:
+        with self._cv:
+            return bool(self._order) or self._busy
+
     def _raise_pending_error(self):
         if self._errors:
             errs, self._errors = self._errors, []
@@ -228,8 +232,14 @@ def save_checkpoint(path, params, opt_state, epoch: int, step: int,
         payload["schedule"] = {k: np.asarray(v)
                                for k, v in schedule_state.items()}
     path = Path(path).absolute()
-    if block:
+    if block and not _ASYNC_SAVER.has_pending():
         _write_and_swap(path, payload, epoch)
+    elif block:
+        # a background save may be mid-write to this very path (e.g. a
+        # preemption save racing the epoch's async save): route through
+        # the single writer thread (serialized, newest-wins) and wait
+        _ASYNC_SAVER.submit(path, payload, epoch)
+        _ASYNC_SAVER.wait()
     else:
         _ASYNC_SAVER.submit(path, payload, epoch)
 

@@ -136,12 +136,60 @@ def build_schedule(cfg, iters_per_epoch, world_size):
                        world_size=world_size)
 
 
+_PREEMPTED = None  # threading.Event, installed by _install_preemption_handler
+
+
+def _install_preemption_handler():
+    """Graceful preemption (production TPU VMs send SIGTERM with ~30 s
+    notice): mark a flag; the train loop checkpoints and exits cleanly at
+    the next safe point instead of losing the epoch. Returns the Event
+    (None when handlers can't be installed, e.g. non-main thread)."""
+    global _PREEMPTED
+    import signal
+    import threading
+    ev = threading.Event()
+
+    def handler(signum, frame):
+        ev.set()
+        log.warning("SIGTERM: checkpointing and exiting at the next "
+                    "safe point")
+
+    try:
+        signal.signal(signal.SIGTERM, handler)
+    except ValueError:  # not the main thread (embedded use) — no handler
+        return None
+    _PREEMPTED = ev
+    return ev
+
+
+def _preempt_requested_globally(ev) -> bool:
+    """Consistent cross-process decision: SIGTERM delivery can skew
+    between hosts, and a rank exiting while others enter the next
+    epoch's collectives would deadlock — any rank's flag stops all."""
+    if ev is None:
+        return False
+    if jax.process_count() == 1:
+        return ev.is_set()
+    from ..parallel.mesh import gather_from_all
+    flags = gather_from_all(np.asarray([int(ev.is_set())]))
+    return bool(np.asarray(flags).sum() > 0)
+
+
 def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
                   *, is_training, lr_schedule=None, base_lr=None,
                   step_counter=0, rng=None, log_every=200, profiler=None):
     t_dl = time.perf_counter()
     accum = None
     for idx, batch in enumerate(loader):
+        if (_PREEMPTED is not None and _PREEMPTED.is_set()
+                and jax.process_count() == 1):
+            # single-process: abandon the epoch mid-stream (metrics
+            # absorbed below are partial). Multi-process keeps the epoch
+            # running — mid-epoch exit would desync the ranks' collective
+            # schedules; the globally-synced check at the epoch boundary
+            # handles it.
+            log.warning("preemption: stopping epoch at iter %d", idx)
+            break
         dl_time = time.perf_counter() - t_dl
         device_batch = shard_batch(mesh, {
             k: v for k, v in batch.items()
@@ -183,6 +231,7 @@ def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
 def main(cfg: Config, interactive: bool = True):
     dist_info = init_distributed(log)
     is_master = dist_info["rank"] == 0
+    preempt_ev = _install_preemption_handler()
     experiment_name, ckpt_path = create_ckpt_path(cfg, interactive)
 
     np.random.seed(cfg.seed)
@@ -446,6 +495,20 @@ def main(cfg: Config, interactive: bool = True):
                 **metric_tracker.get_all_data(is_training=False),
                 "lr": lr,
             }, step=epoch + 1)
+        if _preempt_requested_globally(preempt_ev):
+            # graceful preemption: one final BLOCKING resume checkpoint
+            # (materialized on every rank — collective), then exit clean
+            host_params = to_host_tree(params)
+            host_opt = to_host_tree(
+                {k: v for k, v in opt_state.items() if k != "params_c"}
+                if isinstance(opt_state, dict) else opt_state)
+            if is_master:
+                save_checkpoint(last_path, host_params, host_opt, epoch + 1,
+                                step_counter, best_metric,
+                                schedule_state=sched_state, block=True)
+            log.warning("preemption: checkpoint saved at epoch %d; "
+                        "exiting (resume with train.resume=true)", epoch + 1)
+            break
     profiler.close()
     if is_master:
         wait_for_pending_saves()

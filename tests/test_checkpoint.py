@@ -392,3 +392,67 @@ def test_resume_reconciles_master_dtype(monkeypatch):
                   and not np.issubdtype(np.asarray(x).dtype, np.integer))
     assert np.asarray(leaf16).dtype == np.dtype(ml_dtypes.bfloat16)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(monkeypatch):
+    """Graceful preemption: SIGTERM mid-training exits cleanly with a
+    fresh resume checkpoint (production TPU VMs get ~30 s notice), and
+    train.resume=true finishes the run."""
+    import shutil
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    monkeypatch.chdir(repo)
+    ckpt_dir = "checkpoints/CMFPEarly_ModalTokenCMFuser_rgb_flow_preempt-t"
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    from run import read_file_into_cli
+    ov = read_file_into_cli("expts/99_synth_smoke_train.txt")
+    ov = [o for o in ov if not o.startswith("train.num_epochs")
+          and not o.startswith("experiment_name")]
+    ov += ["experiment_name=preempt-t", "use_wandb=false", "workers=2",
+           "train.num_epochs=200"]  # far more than can finish
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    proc = subprocess.Popen([sys.executable, "train.py"] + ov,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env,
+                            cwd=repo)
+    # wait until training is inside the epoch loop, then preempt
+    deadline = time.time() + 240
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if "Epoch 2 of" in line or time.time() > deadline:
+            break
+    proc.send_signal(signal.SIGTERM)
+    try:
+        out_rest = proc.stdout.read()
+        rc = proc.wait(timeout=180)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise AssertionError("preempted training did not exit:\n"
+                             + "".join(lines[-20:]))
+    out = "".join(lines) + out_rest
+    assert rc == 0, f"rc={rc}\n{out[-2000:]}"
+    assert "preemption: checkpoint saved" in out, out[-2000:]
+
+    from afft_tpu.train.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(os.path.join(ckpt_dir, "checkpoint_last"))
+    saved_epoch = int(ckpt["epoch"])
+    assert 0 < saved_epoch < 200
+
+    # resume completes the (shortened) run from the preemption point
+    from afft_tpu.config import compose as compose_cfg
+    from afft_tpu.train.loop import main as train_main
+    ov2 = [o for o in ov if not o.startswith("train.num_epochs")]
+    train_main(compose_cfg("afft_tpu/conf",
+                           ov2 + [f"train.num_epochs={saved_epoch + 1}",
+                                  "train.resume=true"]),
+               interactive=False)
+    final = load_checkpoint(os.path.join(ckpt_dir, "checkpoint_last"))
+    assert int(final["epoch"]) == saved_epoch + 1
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
