@@ -22,5 +22,14 @@ _plat = _os.environ.get("JAX_PLATFORM_NAME") or _os.environ.get(
     "JAX_PLATFORMS")
 if _plat and "axon" not in _plat.split(","):
     import jax as _jax
+    from jax._src import xla_bridge as _xb
+    if getattr(_xb, "_backends", None):
+        # a backend already initialized before afft_tpu was imported —
+        # the config update below would silently not apply
+        import warnings as _w
+        _w.warn(f"afft_tpu: JAX backends initialized before import; "
+                f"platform override '{_plat}' may not take effect "
+                "(import afft_tpu before running any jax computation)")
     _jax.config.update("jax_platforms", _plat)
+    del _xb
 del _os, _plat

@@ -147,14 +147,19 @@ def wait_for_pending_saves():
     _ASYNC_SAVER.wait()
 
 
-def to_host_tree(tree):
+def to_host_tree(tree, materialize: bool = True):
     """Device→host copy of a pytree for checkpointing.
 
     Leaves already on the host pass through without copying — callers that
     save the same state to several paths (best + last on an improving
     epoch) can materialize once and share the result. bf16 leaves read
     back via an fp32 cast: a direct np.asarray of a bf16 device array
-    aborts this TPU backend (see .claude/skills/verify)."""
+    aborts this TPU backend (see .claude/skills/verify).
+
+    ``materialize=False`` runs ONLY the collective gather below (which
+    every process of a multi-host mesh must join) and returns the leaves
+    un-copied — non-writer ranks use it so the GiB-scale numpy readback
+    happens on rank 0 alone."""
     import jax.numpy as jnp
     import ml_dtypes
 
@@ -174,6 +179,9 @@ def to_host_tree(tree):
         gathered = _replicating_gather(mesh)(tuple(leaves[i] for i in idxs))
         for i, g in zip(idxs, gathered):
             leaves[i] = g
+
+    if not materialize:
+        return jax.tree.unflatten(treedef, leaves)
 
     def leaf(x):
         if isinstance(x, np.ndarray) or np.isscalar(x):

@@ -157,7 +157,8 @@ def _install_preemption_handler():
     try:
         signal.signal(signal.SIGTERM, handler)
     except ValueError:  # not the main thread (embedded use) — no handler
-        return None
+        _PREEMPTED = None  # clear any event from a previous main() run:
+        return None        # a stale set flag would abort every epoch at 0
     _PREEMPTED = ev
     return ev
 
@@ -423,6 +424,7 @@ def main(cfg: Config, interactive: bool = True):
                  cfg.train.num_epochs, lr)
         metric_tracker.reset()
 
+        epoch_start_step = step_counter
         params, opt_state, step_counter, rng = run_one_epoch(
             runner, mesh, params, opt_state, epoch_train_loader,
             metric_tracker, is_training=True, lr_schedule=lr_schedule,
@@ -431,6 +433,12 @@ def main(cfg: Config, interactive: bool = True):
         params, opt_state, _, _ = run_one_epoch(
             runner, mesh, params, opt_state, epoch_val_loader,
             metric_tracker, is_training=False)
+        # single-process preemption may have aborted the epoch mid-stream:
+        # its train metrics are partial and its val metric is a biased
+        # prefix — never use it to crown a best checkpoint, and resume
+        # must REDO the epoch (record epoch, not epoch+1)
+        interrupted = preempt_ev is not None and preempt_ev.is_set() \
+            and jax.process_count() == 1
 
         observe = getattr(lr_schedule, "observe", None)
         if observe is not None:
@@ -458,19 +466,25 @@ def main(cfg: Config, interactive: bool = True):
         # saves. train.save_last_every=N thins the resume checkpoint
         # cadence (the final epoch always saves).
         block = not cfg.train.get("async_checkpoint", True)
-        is_best = primary is not None and primary > best_metric
+        is_best = not interrupted \
+            and primary is not None and primary > best_metric
         last_every = int(cfg.train.get("save_last_every") or 1)
-        is_last = (epoch + 1) % last_every == 0 \
-            or epoch + 1 == cfg.train.num_epochs
+        is_last = not interrupted and ((epoch + 1) % last_every == 0
+                                       or epoch + 1 == cfg.train.num_epochs)
         every = cfg.train.get("checkpoint_every")
-        is_every = bool(every) and (epoch + 1) % int(every) == 0
+        is_every = not interrupted \
+            and bool(every) and (epoch + 1) % int(every) == 0
+        host_params = host_opt = None
         if is_best or is_last or is_every:
             # one device->host copy per epoch, shared by every
-            # destination (save_checkpoint passes host leaves through)
-            host_params = to_host_tree(params)
+            # destination (save_checkpoint passes host leaves through).
+            # Non-writers only run the collective gather part — the numpy
+            # materialization is skipped off-master (materialize=False)
+            host_params = to_host_tree(params, materialize=is_master)
             host_opt = to_host_tree(
                 {k: v for k, v in opt_state.items() if k != "params_c"}
-                if isinstance(opt_state, dict) else opt_state)
+                if isinstance(opt_state, dict) else opt_state,
+                materialize=is_master)
         if is_best:
             best_metric = primary
         if is_master:
@@ -490,24 +504,37 @@ def main(cfg: Config, interactive: bool = True):
                     os.path.join(ckpt_path, f"checkpoint_epoch{epoch + 1}"),
                     host_params, host_opt, epoch + 1, step_counter,
                     best_metric, schedule_state=sched_state, block=block)
-            exp_logger.log({
-                **metric_tracker.get_all_data(is_training=True),
-                **metric_tracker.get_all_data(is_training=False),
-                "lr": lr,
-            }, step=epoch + 1)
+            if not interrupted:  # partial-epoch metrics would masquerade
+                exp_logger.log({  # as a completed epoch's
+                    **metric_tracker.get_all_data(is_training=True),
+                    **metric_tracker.get_all_data(is_training=False),
+                    "lr": lr,
+                }, step=epoch + 1)
         if _preempt_requested_globally(preempt_ev):
-            # graceful preemption: one final BLOCKING resume checkpoint
-            # (materialized on every rank — collective), then exit clean
-            host_params = to_host_tree(params)
-            host_opt = to_host_tree(
-                {k: v for k, v in opt_state.items() if k != "params_c"}
-                if isinstance(opt_state, dict) else opt_state)
-            if is_master:
-                save_checkpoint(last_path, host_params, host_opt, epoch + 1,
-                                step_counter, best_metric,
-                                schedule_state=sched_state, block=True)
+            # graceful preemption: one final resume checkpoint, then exit
+            # clean. A mid-epoch interrupt records (epoch, epoch-start
+            # step) so resume REDOES the partial epoch (the alternative —
+            # epoch+1 — would silently skip its untrained remainder); an
+            # epoch-boundary preempt whose checkpoint_last was just saved
+            # (is_last) skips the duplicate GiB-scale write — the ~30 s
+            # preemption window is better spent flushing the async queue.
+            ck_epoch = epoch if interrupted else epoch + 1
+            ck_step = epoch_start_step if interrupted else step_counter
+            if interrupted or not is_last:
+                if host_params is None:
+                    host_params = to_host_tree(params,
+                                               materialize=is_master)
+                    host_opt = to_host_tree(
+                        {k: v for k, v in opt_state.items()
+                         if k != "params_c"}
+                        if isinstance(opt_state, dict) else opt_state,
+                        materialize=is_master)
+                if is_master:
+                    save_checkpoint(last_path, host_params, host_opt,
+                                    ck_epoch, ck_step, best_metric,
+                                    schedule_state=sched_state, block=True)
             log.warning("preemption: checkpoint saved at epoch %d; "
-                        "exiting (resume with train.resume=true)", epoch + 1)
+                        "exiting (resume with train.resume=true)", ck_epoch)
             break
     profiler.close()
     if is_master:

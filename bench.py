@@ -408,20 +408,30 @@ def wait_for_tpu(max_wait_s=2400, probe_timeout_s=100):
              "print(np.asarray((x @ x).astype(jnp.float32))[0, 0])")
     deadline = _t.time() + max_wait_s
     while True:
+        t0 = _t.time()
         try:
             subprocess.run([sys.executable, "-c", probe], check=True,
                            timeout=probe_timeout_s,
                            stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
+                           stderr=subprocess.PIPE)
             return
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            if _t.time() > deadline:
+        except subprocess.CalledProcessError as e:
+            if _t.time() - t0 < 10:
+                # fast nonzero exit = deterministic failure (broken
+                # install, import error), NOT a wedge — surface it now
                 raise RuntimeError(
-                    f"TPU worker unresponsive for {max_wait_s}s; aborting "
-                    "bench instead of hanging")
-            print(f"# TPU worker wedged; retrying probe "
-                  f"({int(deadline - _t.time())}s left)", file=sys.stderr)
-            _t.sleep(60)
+                    "TPU probe failed immediately (not a wedge):\n"
+                    + (e.stderr or b"").decode(errors="replace")[-2000:])
+            err = "probe crashed"
+        except subprocess.TimeoutExpired:
+            err = "probe hung"
+        if _t.time() > deadline:
+            raise RuntimeError(
+                f"TPU worker unresponsive for {max_wait_s}s ({err}); "
+                "aborting bench instead of hanging")
+        print(f"# TPU worker wedged ({err}); retrying "
+              f"({int(deadline - _t.time())}s left)", file=sys.stderr)
+        _t.sleep(60)
 
 
 def main():

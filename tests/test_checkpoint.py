@@ -421,17 +421,24 @@ def test_sigterm_preemption_checkpoints_and_resumes(monkeypatch):
                             stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, env=env,
                             cwd=repo)
-    # wait until training is inside the epoch loop, then preempt
+    # wait until training is inside the epoch loop, then preempt; a
+    # watchdog kills the child if it never logs (readline would block)
+    import threading
+    watchdog = threading.Timer(300, proc.kill)
+    watchdog.start()
     deadline = time.time() + 240
     lines = []
     for line in proc.stdout:
         lines.append(line)
         if "Epoch 2 of" in line or time.time() > deadline:
             break
+    watchdog.cancel()
     proc.send_signal(signal.SIGTERM)
     try:
-        out_rest = proc.stdout.read()
-        rc = proc.wait(timeout=180)
+        # communicate() (not read+wait): an unbounded read would hang
+        # forever if the regression under test keeps the child training
+        out_rest, _ = proc.communicate(timeout=180)
+        rc = proc.returncode
     except subprocess.TimeoutExpired:
         proc.kill()
         raise AssertionError("preempted training did not exit:\n"
