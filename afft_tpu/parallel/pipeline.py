@@ -49,7 +49,8 @@ def stack_layer_params(layer_params_list):
 
 
 def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
-                    microbatches: int, axis: str = "pipe"):
+                    microbatches: int, axis: str = "pipe",
+                    block_takes_micro_index: bool = False):
     """Apply L stacked layers to x (B, ...) over S pipeline stages.
 
     block_fn(layer_params, h) -> h   (one layer, shape-preserving)
@@ -59,7 +60,13 @@ def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
     Returns the same value as sequentially applying the L layers,
     replicated over the pipe axis. Stage-local layers run under
     ``lax.scan``; per-layer randomness should be pre-split and stacked
-    into ``stacked_params`` by the caller.
+    into ``stacked_params`` by the caller. For train-mode dropout set
+    ``block_takes_micro_index=True``: block_fn(p, h, m) receives the
+    microbatch index m to fold into its keys — masks are drawn per
+    microbatch shape, so decorrelating them across microbatches needs m
+    (the sequential full-batch masks cannot be reproduced under ANY
+    pipelining; what is reproducible — and tested — is the per-
+    microbatch application).
     """
     S = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
     L = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -77,8 +84,10 @@ def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
     def run(p_local, micro_all):
         s = lax.axis_index(axis)
 
-        def stage_layers(h):
+        def stage_layers(h, m):
             def body(h, p_i):
+                if block_takes_micro_index:
+                    return block_fn(p_i, h, m), None
                 return block_fn(p_i, h), None
             h, _ = lax.scan(body, h, p_local)
             return h
@@ -92,7 +101,9 @@ def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
             # garbage that is never collected), others take the hop-in
             inject = micro_all[jnp.clip(t, 0, M - 1)]
             h_in = jnp.where(s == 0, inject, buf)
-            h_out = stage_layers(h_in)
+            # stage s processes microbatch t - s at tick t (bubble ticks
+            # clamp to a valid id; their output is never collected)
+            h_out = stage_layers(h_in, jnp.clip(t - s, 0, M - 1))
             # collect: stage S-1 finished microbatch t - (S - 1) this tick.
             # Bubble ticks write garbage at a wrapped/dropped index, but
             # every slot's CORRECT write comes later in the scan (slot k is

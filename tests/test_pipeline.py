@@ -94,3 +94,47 @@ def test_pipeline_fuser_blocks():
                           microbatches=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_train_mode_dropout():
+    """Train-mode pipelining: per-layer dropout keys are pre-split and
+    stacked INTO the layer params (randomness must ride the scanned
+    pytree — a stateful stream can't thread through lax.scan), with the
+    microbatch index folded in so masks decorrelate across microbatches.
+    The schedule reproduces the per-microbatch sequential application
+    exactly (full-batch masks are unreproducible under ANY pipelining —
+    dropout shapes follow the microbatch)."""
+    from afft_tpu.models import blocks as B
+    from afft_tpu.models import layers as L
+
+    L_, n, C, heads, M = 4, 3, 32, 2, 4
+    keys = jax.random.split(jax.random.key(2), L_)
+    blocks = [B.block_init(k, C, heads, 4.0, False, True) for k in keys]
+    layer_keys = jax.random.split(jax.random.key(7), L_)
+    stacked = {"block": stack_layer_params(blocks), "rng": layer_keys}
+    x = jnp.asarray(np.random.default_rng(2)
+                    .standard_normal((48, n, C)).astype(np.float32))
+
+    def block_fn(p, h, m):
+        rng = L.RngStream(jax.random.fold_in(p["rng"], m))
+        return B.block_apply(p["block"], h, num_heads=heads, train=True,
+                             drop=0.3, attn_drop=0.2, rng=rng,
+                             need_weights=False)[0]
+
+    micro = x.reshape(M, 48 // M, n, C)
+    seq = []
+    for m in range(M):
+        h = micro[m]
+        for i in range(L_):
+            h = block_fn({"block": blocks[i], "rng": layer_keys[i]}, h,
+                         jnp.asarray(m))
+        seq.append(h)
+    seq = jnp.concatenate(seq, axis=0)
+
+    mesh = make_mesh_pipe(2)
+    out = pipeline_blocks(block_fn, stacked, x, mesh, microbatches=M,
+                          block_takes_micro_index=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
+                               rtol=1e-5, atol=1e-5)
+    # masks really differ across microbatches (fold_in(m) decorrelates)
+    assert not np.allclose(np.asarray(out[:12]), np.asarray(out[12:24]))
