@@ -445,7 +445,7 @@ class FeatureClipDataset:
         return new_start, new_end, req_fps
 
     def _subsample_and_pad(self, feats: np.ndarray, frame_sec: np.ndarray,
-                           fps: float, req_fps: float):
+                           fps: float, req_fps: float, idx=0):
         """fps subsampling (back-aligned for last/random) + front padding
         (reference :279-335)."""
         strat = self.sample_strategy
@@ -455,7 +455,13 @@ class FeatureClipDataset:
             keep = list(range(n))[::-step][::-1]
             if strat == SAMPLE_STRAT_RAND:
                 shift = max(int(round(fps / req_fps / 3)), 1)
-                offset = int(round(pyrandom.random() * shift))
+                # same (seed, epoch, row)-seeded scheme as the window draw
+                # above: the reference uses the global RNG here, which
+                # under loader threads is schedule-dependent (two runs
+                # with one seed would produce different offsets)
+                g = np.random.default_rng(
+                    (self.random_seed, self._epoch, int(idx), 0x0FF5))
+                offset = int(round(float(g.random()) * shift))
                 keep = [i - offset if i - offset > 0 else i for i in keep]
         else:
             keep = list(range(n))[::step]
@@ -491,7 +497,7 @@ class FeatureClipDataset:
         else:
             frame_sec = np.linspace(new_start, new_end, t, dtype=np.float32)
         feats, frame_sec = self._subsample_and_pad(feats, frame_sec, fps,
-                                                   req_fps)
+                                                   req_fps, idx=idx)
         tfm = self.transforms.get(mod)
         if tfm is not None:
             if feats.dtype not in (np.float32, np.float64):
@@ -609,7 +615,13 @@ class ConcatClipDataset:
     def get_item(self, idx: int):
         ds_i = int(np.searchsorted(self._cum, idx, side="right"))
         local = idx - (0 if ds_i == 0 else int(self._cum[ds_i - 1]))
-        return self.datasets[ds_i].get_item(local)
+        item = self.datasets[ds_i].get_item(local)
+        # consumers treat item['idx'] as a GLOBAL row id (h5 export order
+        # restore, shard merge dedup); the sub-dataset returns its local
+        # one, which collides across parts
+        item = dict(item)
+        item["idx"] = idx
+        return item
 
     def __getitem__(self, idx):
         return self.get_item(idx), {}

@@ -23,6 +23,21 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
+_CHUNK_WRITE = None
+
+
+def _chunk_write(dst, part, lo):
+    """dst[lo:lo+len(part)] = part with the destination DONATED — one
+    shared jitted program (cached per shape) so cache construction's
+    peak HBM is full-size + one chunk, not 2x full-size."""
+    global _CHUNK_WRITE
+    if _CHUNK_WRITE is None:
+        import jax
+        _CHUNK_WRITE = jax.jit(
+            lambda a, c, i: jax.lax.dynamic_update_slice_in_dim(a, c, i, 0),
+            donate_argnums=0)
+    return _CHUNK_WRITE(dst, part, lo)
+
 
 def estimated_bytes(dataset, itemsize=2) -> int:
     plan = getattr(dataset, "_plan", None)
@@ -63,7 +78,11 @@ class DeviceFeatureCache:
         # on device at gather time.
         self.features: Dict[str, "jax.Array"] = {}
         for mod in dataset.reader_fn:
-            parts = []
+            # chunks are written into a PREALLOCATED device array through a
+            # donated dynamic_update_slice — collecting every chunk and
+            # jnp.concatenate-ing would transiently hold ~2x the cache in
+            # HBM (all chunks + the full copy) during construction
+            feats = scales = None
             for lo in range(0, n, chunk):
                 idx = np.arange(lo, min(lo + chunk, n))
                 host = np.asarray(dataset.load_batch(idx)["data_dict"][mod],
@@ -76,16 +95,20 @@ class DeviceFeatureCache:
                     # scales stay fp32: they are only (N, T) next to the
                     # (N, T, F) int8 payload, and bf16's 8-bit mantissa
                     # would add ~0.4% multiplicative error on every feature
-                    parts.append((jnp.asarray(q.astype(np.int8)),
-                                  jnp.asarray(scale, jnp.float32)))
+                    if feats is None:
+                        feats = jnp.zeros((n,) + host.shape[1:], jnp.int8)
+                        scales = jnp.zeros((n,) + scale.shape[1:],
+                                           jnp.float32)
+                    feats = _chunk_write(feats,
+                                         jnp.asarray(q.astype(np.int8)), lo)
+                    scales = _chunk_write(scales,
+                                          jnp.asarray(scale, jnp.float32),
+                                          lo)
                 else:
-                    parts.append(jnp.asarray(host, dtype))
-            if self.quantized:
-                self.features[mod] = (
-                    jnp.concatenate([p[0] for p in parts], axis=0),
-                    jnp.concatenate([p[1] for p in parts], axis=0))
-            else:
-                self.features[mod] = jnp.concatenate(parts, axis=0)
+                    if feats is None:
+                        feats = jnp.zeros((n,) + host.shape[1:], dtype)
+                    feats = _chunk_write(feats, jnp.asarray(host, dtype), lo)
+            self.features[mod] = (feats, scales) if self.quantized else feats
         total = sum(sum(x.nbytes for x in (f if isinstance(f, tuple)
                                            else (f,)))
                     for f in self.features.values())

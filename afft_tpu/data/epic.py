@@ -98,12 +98,19 @@ class EPICKitchens(FeatureClipDataset):
     def class_mappings(self) -> Dict[Tuple[str, str], np.ndarray]:
         """One-hot (n_actions, n_verbs/nouns) marginalization matrices
         (reference :87-106)."""
-        num_verbs = len(self.verb_classes) or len(
-            {v for (v, _) in self.verb_noun_to_action})
-        num_nouns = len(self.noun_classes) or len(
-            {n for (_, n) in self.verb_noun_to_action})
-        num_actions = len(self.action_classes) or len(
-            set(self.verb_noun_to_action.values()))
+        # fallback sizing (no class CSVs) must be max id + 1, not the
+        # count of DISTINCT ids: non-contiguous verb/noun/action ids would
+        # index past a distinct-count-sized matrix
+        def _fallback(ids):
+            ids = list(ids)
+            return (max(ids) + 1) if ids else 0
+
+        num_verbs = len(self.verb_classes) or _fallback(
+            v for (v, _) in self.verb_noun_to_action)
+        num_nouns = len(self.noun_classes) or _fallback(
+            n for (_, n) in self.verb_noun_to_action)
+        num_actions = len(self.action_classes) or _fallback(
+            self.verb_noun_to_action.values())
         verb_in_action = np.zeros((num_actions, num_verbs), np.float32)
         noun_in_action = np.zeros((num_actions, num_nouns), np.float32)
         for (verb, noun), action in self.verb_noun_to_action.items():

@@ -42,8 +42,13 @@ def shard_indices(n: int, shuffle: bool, seed: int, epoch: int,
     if num_shards == 1:
         return indices
     total = int(np.ceil(n / num_shards)) * num_shards
-    if total > n:  # wrap-around padding, like DistributedSampler
-        indices = np.concatenate([indices, indices[:total - n]])
+    if total > n:  # wrap-around padding, like DistributedSampler —
+        # REPEATING the sequence until the target length (a single
+        # indices[:total-n] slice under-fills when n < total - n, leaving
+        # some shards empty: empty per-rank eval shards / diverging batch
+        # counts deadlock the lockstep collectives)
+        reps = int(np.ceil(total / max(n, 1)))
+        indices = np.tile(indices, reps)[:total]
     return indices[shard_id::num_shards]
 
 

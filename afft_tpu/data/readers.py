@@ -213,7 +213,12 @@ class PackedFeatureStore(FeatureStore):
                 else:
                     feats = np.ascontiguousarray(feats).astype(np_dtype)
                     f_feat.write(feats.tobytes())
-                f_ids.write(np.asarray(ids, np.int64).tobytes())
+                ids_arr = np.asarray(ids, np.int64)
+                assert np.all(np.diff(ids_arr) > 0), \
+                    f"frame ids for {video!r} must be strictly ascending: " \
+                    f"resolve_backward's searchsorted would silently " \
+                    f"return wrong rows on an unsorted id table"
+                f_ids.write(ids_arr.tobytes())
                 assert video not in meta_videos, \
                     f"duplicate video block {video!r}: blocks must be " \
                     f"grouped per video (silent offset corruption otherwise)"
@@ -261,6 +266,12 @@ class PackedFeatureStore(FeatureStore):
                         f"the stream must be grouped per video (offsets " \
                         f"would silently corrupt otherwise)"
                     cur_video, cur_count = video, 0
+                    prev_fid = None
+                assert prev_fid is None or fid > prev_fid, \
+                    f"frame ids for {video!r} must be strictly ascending " \
+                    f"({prev_fid} -> {fid}): resolve_backward's " \
+                    f"searchsorted would silently return wrong rows"
+                prev_fid = fid
                 f_feat.write(feat.tobytes())
                 f_ids.write(np.int64(fid).tobytes())
                 cur_count += 1

@@ -57,8 +57,12 @@ def balanced_sample_weights(dataset, target: str = "action",
     counts = class_counts(dataset, target)
     labels = _labels(dataset, target)
     class_w = np.power(np.maximum(counts, 1).astype(np.float64), -alpha)
-    w = np.where(labels >= 0, class_w[np.clip(labels, 0, None)],
-                 1.0 / max(len(labels), 1))
+    # -1-labelled rows sample at the AVERAGE labelled rate (a 1/N weight
+    # would effectively exclude them, and would break the alpha=0 ==
+    # uniform-sampling contract)
+    present = class_w[np.clip(labels, 0, None)][labels >= 0]
+    neutral = float(present.mean()) if present.size else 1.0
+    w = np.where(labels >= 0, class_w[np.clip(labels, 0, None)], neutral)
     return (w / w.sum()).astype(np.float64)
 
 

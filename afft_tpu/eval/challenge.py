@@ -20,11 +20,8 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 
+from ..data.epic import EGTEA_VERSION, EPIC55_VERSION, EPIC100_VERSION
 from ..train.metrics import topk_accuracy, topk_recall
-
-EGTEA_VERSION = -1
-EPIC55_VERSION = 0.1
-EPIC100_VERSION = 0.2
 
 LOGITS_DIR = "logits"
 PREFIX_H5 = "test"
@@ -79,6 +76,13 @@ def compute_accuracy(predictions, labels, classes=None):
 def epic100_unseen_tail_eval(probs, dataset):
     """Unseen-kitchens and tail-class MT5R breakdowns (reference :109-158)."""
     rdir = dataset.rulstm_annotation_dir
+    if rdir is None:
+        # optional kwarg (epic.py): without the RULSTM annotation dir the
+        # breakdown csvs don't exist — nan metrics, not a crash after the
+        # full forward pass has already run
+        return {k: float("nan") for k in
+                ("vmt5r_tail", "nmt5r_tail", "amt5r_tail",
+                 "vmt5r_unseen", "nmt5r_unseen", "amt5r_unseen")}
     read_ids = lambda f, col: pd.read_csv(  # noqa: E731
         osp.join(rdir, f), names=[col])[col]
     unseen = read_ids("validation_unseen_participants_ids.csv", "ids")

@@ -91,6 +91,10 @@ def collect_logits(model, params, loader, mesh):
     for logits, _, idx, modk in _forward_all(model, params, loader, mesh):
         chunks.append(logits)
         idxs.append(idx)
+    # shard_indices tiles small datasets so every rank's shard is
+    # non-empty whenever the dataset is; an empty loader here means an
+    # empty dataset — fail with a diagnosis, not a bare concatenate error
+    assert chunks, "eval loader yielded no batches (empty dataset?)"
     logits = np.concatenate(chunks, axis=0)
     idx = np.concatenate(idxs, axis=0)
     if jax.process_count() > 1:

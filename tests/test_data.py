@@ -620,3 +620,21 @@ def test_loader_set_epoch_reaches_dataset():
     loader = BatchLoader(spy, batch_size=2)
     loader.set_epoch(5)
     assert spy.epoch == 5
+
+
+def test_shard_indices_tiny_dataset_fills_all_shards():
+    """Wrap-around padding must REPEAT the sequence: with n smaller than
+    about half the shard count, a single wrap slice under-fills and
+    leaves shards empty (deadlocking lockstep collectives downstream)."""
+    from afft_tpu.data.loader import shard_indices
+
+    n, shards = 3, 8
+    sizes = []
+    all_idx = []
+    for s in range(shards):
+        part = shard_indices(n, shard_id=s, num_shards=shards,
+                             shuffle=False, seed=0, epoch=0)
+        sizes.append(len(part))
+        all_idx.extend(part.tolist())
+    assert min(sizes) == max(sizes) == 1
+    assert set(all_idx) == {0, 1, 2}  # every row still covered
