@@ -1,0 +1,147 @@
+"""Dynamic-batching serving driver (tools/serve_concurrent.py).
+
+Per-request logits coming back from the coalescing/padding/bucket path
+must equal a direct forward of the same clip — every op in the serving
+graph is row-local, so batch composition and zero-padding must not leak
+into a request's result. Also pins the bucket-selection policy (smallest
+bucket that fits the coalesced queue).
+"""
+
+import os
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+CFG = [
+    "model.modal_dims={rgb: 16, flow: 16}", "model.common_dim=16",
+    "model.fuser.depth=1", "model.fuser.num_heads=2",
+    "model.common.fp_inter_dim=16", "model.common.fp_layers=1",
+    "model.common.fp_heads=2", "model.dropout=0.0",
+    "data_eval.num_frames=6"]
+NUM_CLASSES = {"action": 11}
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    from export_serving import export_bundle
+    from afft_tpu.config import compose
+
+    cfg = compose("afft_tpu/conf", CFG)
+    out = str(tmp_path_factory.mktemp("serve") / "bundle")
+    export_bundle(cfg, out, NUM_CLASSES, batch=[2, 4, 8], n_frames=6,
+                  dtype="float32", log=lambda *a: None)
+    return out
+
+
+def _clips(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [{m: rng.standard_normal((6, 16)).astype(np.float32)
+             for m in ("rgb", "flow")} for _ in range(n)]
+
+
+def test_bucket_graphs_exported(bundle):
+    from export_serving import bucket_graph_name
+    from serve_bundle import load_bundle_buckets
+
+    for b in (2, 4, 8):
+        assert os.path.exists(os.path.join(bundle, bucket_graph_name(b)))
+    fns, params, meta = load_bundle_buckets(bundle)
+    assert sorted(fns) == [2, 4, 8]
+    assert meta["batch_buckets"] == [2, 4, 8]
+    assert meta["batch"] == 8  # legacy field = largest bucket
+    # every bucket graph runs at its own shape and agrees with the others
+    import jax.numpy as jnp
+    clip = _clips(1)[0]
+    outs = {}
+    for b, fn in fns.items():
+        feats = {m: jnp.asarray(np.broadcast_to(clip[m], (b, 6, 16)))
+                 for m in clip}
+        outs[b] = np.asarray(fn(params, feats))[0]
+    np.testing.assert_allclose(outs[2], outs[8], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[4], outs[8], rtol=1e-5, atol=1e-5)
+
+
+def test_concurrent_results_match_direct_forward(bundle):
+    """9 clips submitted from 3 threads: every per-request result equals
+    the clip's direct single-graph forward, regardless of how the
+    scheduler coalesced/padded them."""
+    import jax.numpy as jnp
+    from serve_bundle import load_bundle
+    from serve_concurrent import BundleServer
+
+    fn, params, meta = load_bundle(bundle)
+    clips = _clips(9, seed=1)
+    # direct reference: each clip alone in the (padded) largest bucket
+    refs = []
+    for c in clips:
+        feats = {m: jnp.asarray(np.concatenate(
+            [c[m][None], np.zeros((7, 6, 16), np.float32)]))
+            for m in c}
+        refs.append(np.asarray(fn(params, feats))[0])
+
+    server = BundleServer(bundle, max_wait_ms=20.0)
+    try:
+        futs = [None] * len(clips)
+
+        def submit(lo, hi):
+            for i in range(lo, hi):
+                futs[i] = server.submit(clips[i])
+
+        threads = [threading.Thread(target=submit, args=(i * 3, i * 3 + 3))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, fut in enumerate(futs):
+            logits, lat = fut.result(timeout=60)
+            assert lat > 0
+            np.testing.assert_allclose(logits, refs[i], rtol=1e-5,
+                                       atol=1e-5)
+    finally:
+        server.close()
+    assert sum(server.batch_hist.values()) >= 1
+
+
+def test_bucket_selection_smallest_fit(bundle):
+    """A lone request must dispatch through the SMALLEST bucket (2), not
+    pad out to 8; a burst of 5+ goes through 8."""
+    from serve_concurrent import BundleServer
+
+    server = BundleServer(bundle, max_wait_ms=1.0)
+    try:
+        server.submit(_clips(1)[0]).result(timeout=60)
+        assert server.batch_hist[2] == 1 and server.batch_hist[8] == 0
+    finally:
+        server.close()
+
+    server = BundleServer(bundle, max_wait_ms=200.0)
+    try:
+        clips = _clips(6, seed=2)
+        futs = [server.submit(c) for c in clips]
+        for f in futs:
+            f.result(timeout=60)
+        # 200 ms coalescing window -> one batch of 6 -> bucket 8
+        assert server.batch_hist[8] == 1, server.batch_hist
+    finally:
+        server.close()
+
+
+def test_open_and_closed_loop_smoke(bundle):
+    from serve_concurrent import (BundleServer, run_closed_loop,
+                                  run_open_loop)
+
+    server = BundleServer(bundle, max_wait_ms=2.0)
+    try:
+        res = run_open_loop(server, rate_hz=200.0, duration_s=1.0)
+        assert res["requests"] > 0 and res["p99_ms"] > 0
+        res2 = run_closed_loop(server, n_clients=4, duration_s=1.0)
+        assert res2["throughput_clips_per_sec"] > 0
+        assert res2["p50_ms"] <= res2["p99_ms"]
+    finally:
+        server.close()

@@ -36,6 +36,10 @@ BUNDLE_PARAMS = "params"
 BUNDLE_META = "meta.json"
 
 
+def bucket_graph_name(batch):
+    return f"serving_b{int(batch)}.jaxexport"
+
+
 def read_expt_overrides(path):
     sys.path.insert(0, REPO)
     import run
@@ -74,11 +78,22 @@ def build_serving_fn(cfg, num_classes, dtype):
 
 def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
                   ckpt_paths=None, log=print):
+    """``batch`` is an int or a list of ints. A list exports one graph per
+    batch-size bucket (``serving_b{B}.jaxexport``) sharing one params
+    checkpoint — static shapes are a TPU-compilation fact of life, so a
+    dynamic-batching server (tools/serve_concurrent.py) picks the smallest
+    bucket that fits the queued requests instead of padding everything to
+    one giant batch. ``serving.jaxexport`` stays the largest bucket for
+    backward compatibility with single-graph consumers."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
     import orbax.checkpoint as ocp
 
+    buckets = sorted({int(b) for b in
+                      (batch if isinstance(batch, (list, tuple)) else
+                       [batch])})
+    batch = buckets[-1]
     model, params, fwd = build_serving_fn(cfg, num_classes, dtype)
     if ckpt_paths:
         from afft_tpu.train.checkpoint import init_from_model
@@ -93,11 +108,16 @@ def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
     modal_dims = {m: int(d)
                   for m, d in cfg.model.modal_dims.to_container().items()}
     feat_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    feats_spec = {m: jax.ShapeDtypeStruct((batch, n_frames, d), feat_dtype)
-                  for m, d in modal_dims.items()}
-    exp = jexport.export(jax.jit(fwd))(params, feats_spec)
 
     os.makedirs(out_dir, exist_ok=True)
+    exp = None
+    for b in buckets:
+        feats_spec = {m: jax.ShapeDtypeStruct((b, n_frames, d), feat_dtype)
+                      for m, d in modal_dims.items()}
+        exp = jexport.export(jax.jit(fwd))(params, feats_spec)
+        with open(os.path.join(out_dir, bucket_graph_name(b)), "wb") as f:
+            f.write(exp.serialize())
+    # largest bucket doubles as the legacy single-graph entry point
     with open(os.path.join(out_dir, BUNDLE_GRAPH), "wb") as f:
         f.write(exp.serialize())
     ocp.PyTreeCheckpointer().save(
@@ -105,6 +125,7 @@ def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
         jax.tree.map(np.asarray, params), force=True)
     meta = {
         "batch": batch,
+        "batch_buckets": buckets,
         "output_len": int(cfg.model.common.get("fp_output_len") or 1),
         "num_frames": n_frames,
         "modal_dims": modal_dims,
@@ -124,7 +145,7 @@ def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
         log("WARNING: exported WITHOUT a checkpoint — the bundle serves "
             "randomly initialized params (meta.json marks it RANDOM-INIT)")
     log(f"serving bundle -> {out_dir} (platforms {meta['platforms']}, "
-        f"B={batch} T={n_frames} dims={modal_dims})")
+        f"B={buckets} T={n_frames} dims={modal_dims})")
     return out_dir
 
 
@@ -134,7 +155,9 @@ def main():
                     help="expt override file (run.py format)")
     ap.add_argument("--ckpt", nargs="*", default=None,
                     help="checkpoint dir(s) under checkpoints/ to load")
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", default="256",
+                    help="batch size, or comma list of bucket sizes "
+                         "(e.g. 8,64,256) for dynamic-batching serving")
     ap.add_argument("--num-classes", default="action:3806",
                     help="comma list target:count")
     ap.add_argument("--dtype", default="bfloat16",
@@ -156,7 +179,8 @@ def main():
     ckpts = None
     if args.ckpt:
         ckpts = [os.path.join(REPO, "checkpoints", p) for p in args.ckpt]
-    export_bundle(cfg, args.out, num_classes, args.batch, n_frames,
+    batch = [int(b) for b in str(args.batch).split(",")]
+    export_bundle(cfg, args.out, num_classes, batch, n_frames,
                   args.dtype, ckpts)
 
 

@@ -19,7 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from export_serving import BUNDLE_GRAPH, BUNDLE_META, BUNDLE_PARAMS  # noqa
+from export_serving import (BUNDLE_GRAPH, BUNDLE_META,  # noqa
+                            BUNDLE_PARAMS, bucket_graph_name)
 
 
 def load_bundle(bundle_dir):
@@ -42,6 +43,29 @@ def load_bundle(bundle_dir):
     # cache rather than re-invoking the export call machinery
     fn = jax.jit(exp.call)
     return fn, params, meta
+
+
+def load_bundle_buckets(bundle_dir):
+    """Load every batch-size bucket the bundle ships: ({B: fn}, params,
+    meta). Single-graph bundles (exported before bucket support) come
+    back as one bucket at meta['batch']."""
+    import jax
+    from jax import export as jexport
+
+    fn, params, meta = load_bundle(bundle_dir)
+    buckets = meta.get("batch_buckets") or [meta["batch"]]
+    fns = {}
+    for b in buckets:
+        path = os.path.join(bundle_dir, bucket_graph_name(b))
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                fns[int(b)] = jax.jit(jexport.deserialize(f.read()).call)
+        elif int(b) == int(meta["batch"]):
+            fns[int(b)] = fn  # largest bucket == the legacy graph
+        else:
+            raise FileNotFoundError(
+                f"bundle meta lists bucket {b} but {path} is missing")
+    return fns, params, meta
 
 
 def _random_batch(meta, seed=0):

@@ -1,0 +1,277 @@
+"""Concurrent serving driver: dynamic batching over an exported bundle.
+
+Production TPU serving is static-shape serving: every compiled graph has
+a fixed batch size, so "dynamic batching" on TPU means (1) coalescing
+concurrently-arriving single-clip requests into a batch, (2) picking the
+smallest exported batch-size BUCKET that fits the queue, and (3) padding
+the remainder. This driver implements that pattern over the bundles
+written by tools/export_serving.py (``--batch 8,64,256`` exports the
+bucket graphs), with:
+
+- a scheduler thread that coalesces requests (waits up to ``max_wait_ms``
+  for the batch to fill — classic latency/throughput knob);
+- async dispatch: the scheduler enqueues device work and moves on; a
+  completion thread blocks on device->host readback and fulfils request
+  futures, so host batch assembly overlaps device compute (double
+  buffering, bounded by ``max_inflight``);
+- an open-loop Poisson load generator measuring the latency distribution
+  (p50/p95/p99) at a given offered rate, and a closed-loop mode
+  measuring saturated throughput.
+
+The reference has no serving story at all (its eval path is
+test.py -> h5 dumps; reference test.py:1-60); this subsystem is
+beyond-reference capability, benchmarked on hardware in
+SERVECONC_r03.json.
+
+Usage:
+  python tools/export_serving.py -c expts/01_SA-Fuser_ek100_val_TSN.txt \
+      --batch 8,64,256 --out serving_bundle
+  python tools/serve_concurrent.py --bundle serving_bundle \
+      --rate 2000 --duration 20            # open-loop, latency percentiles
+  python tools/serve_concurrent.py --bundle serving_bundle \
+      --closed 64 --duration 20            # closed-loop, max throughput
+"""
+
+import argparse
+import json
+import os
+import queue
+import sys
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from serve_bundle import load_bundle_buckets  # noqa: E402
+
+
+class BundleServer:
+    """Dynamic-batching server over a multi-bucket serving bundle.
+
+    ``submit(feats)`` takes ONE clip — a dict of per-modality (T, F)
+    float arrays — and returns a Future resolving to the clip's logits
+    (np.ndarray). Thread-safe; call ``close()`` to drain and stop.
+    """
+
+    def __init__(self, bundle_dir, max_wait_ms=2.0, max_inflight=2):
+        import jax.numpy as jnp
+
+        self.fns, self.params, self.meta = load_bundle_buckets(bundle_dir)
+        self.buckets = sorted(self.fns)
+        self.max_wait_s = max_wait_ms / 1e3
+        self._jnp = jnp
+        self._feat_dtype = (self._jnp.bfloat16
+                            if self.meta["feat_dtype"] == "bfloat16"
+                            else self._jnp.float32)
+        self._queue = queue.SimpleQueue()   # (feats, Future, t_submit)
+        self._done_q = queue.Queue()        # (logits_dev, reqs) awaiting D2H
+        self._inflight = threading.Semaphore(max_inflight)
+        self._stop = threading.Event()
+        self.batch_hist = {b: 0 for b in self.buckets}  # dispatch counts
+        # warm every bucket's executable so first real requests don't pay
+        # a compile/initial-dispatch stall
+        for b in self.buckets:
+            feats = {m: self._jnp.zeros((b, self.meta["num_frames"], d),
+                                        self._feat_dtype)
+                     for m, d in self.meta["modal_dims"].items()}
+            np.asarray(self.fns[b](self.params, feats))
+        self._sched = threading.Thread(target=self._scheduler, daemon=True)
+        self._compl = threading.Thread(target=self._completer, daemon=True)
+        self._sched.start()
+        self._compl.start()
+
+    # ---- client API ----
+
+    def submit(self, feats):
+        fut = Future()
+        self._queue.put((feats, fut, time.perf_counter()))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._sched.join(timeout=30)
+        self._done_q.put(None)
+        self._compl.join(timeout=30)
+
+    # ---- internals ----
+
+    def _collect(self):
+        """Coalesce queued requests into one batch: block for the first
+        request, then keep draining until the largest bucket fills or
+        ``max_wait_ms`` passes with an empty queue."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return None
+        reqs = [first]
+        cap = self.buckets[-1]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(reqs) < cap:
+            try:
+                reqs.append(self._queue.get_nowait())
+                continue
+            except queue.Empty:
+                pass
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                reqs.append(self._queue.get(
+                    timeout=min(remaining, self.max_wait_s)))
+            except queue.Empty:
+                break
+        return reqs
+
+    def _scheduler(self):
+        while not (self._stop.is_set() and self._queue.empty()):
+            reqs = self._collect()
+            if not reqs:
+                continue
+            n = len(reqs)
+            bucket = next(b for b in self.buckets if b >= n) \
+                if n <= self.buckets[-1] else self.buckets[-1]
+            batch = {}
+            for m, d in self.meta["modal_dims"].items():
+                arr = np.zeros((bucket, self.meta["num_frames"], d),
+                               np.float32)
+                for i, (feats, _, _) in enumerate(reqs):
+                    arr[i] = feats[m]
+                batch[m] = self._jnp.asarray(arr).astype(self._feat_dtype)
+            # bound device-queue depth, then dispatch WITHOUT waiting for
+            # the result: jax execution is async, the completer owns the
+            # blocking device->host readback
+            self._inflight.acquire()
+            logits = self.fns[bucket](self.params, batch)
+            self.batch_hist[bucket] += 1
+            self._done_q.put((logits, reqs))
+
+    def _completer(self):
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            logits_dev, reqs = item
+            try:
+                logits = np.asarray(logits_dev)  # blocks until ready
+                t_done = time.perf_counter()
+                for i, (_, fut, t_sub) in enumerate(reqs):
+                    fut.set_result((logits[i], t_done - t_sub))
+            except Exception as e:  # propagate device failures to callers
+                for _, fut, _ in reqs:
+                    if not fut.done():
+                        fut.set_exception(e)
+            finally:
+                self._inflight.release()
+
+
+def _percentiles(lat_s):
+    lat = np.sort(np.asarray(lat_s)) * 1e3
+    pick = lambda p: float(lat[min(len(lat) - 1,
+                                   int(round(p / 100 * (len(lat) - 1))))])
+    return {"p50_ms": round(pick(50), 2), "p95_ms": round(pick(95), 2),
+            "p99_ms": round(pick(99), 2), "mean_ms":
+            round(float(lat.mean()), 2)}
+
+
+def _random_clip(meta, rng):
+    return {m: rng.standard_normal(
+        (meta["num_frames"], d)).astype(np.float32)
+        for m, d in meta["modal_dims"].items()}
+
+
+def run_open_loop(server, rate_hz, duration_s, seed=0):
+    """Poisson arrivals at ``rate_hz`` for ``duration_s``; returns achieved
+    throughput + latency percentiles. Arrival timing uses one generator
+    thread (inter-arrival sleeps), which caps offered rates around
+    ~50k req/s — far above this model's per-chip service rate."""
+    rng = np.random.default_rng(seed)
+    clip = _random_clip(server.meta, rng)  # same payload; timing is the test
+    futures = []
+    t_end = time.perf_counter() + duration_s
+    n_dropped = 0
+    while time.perf_counter() < t_end:
+        futures.append(server.submit(clip))
+        time.sleep(rng.exponential(1.0 / rate_hz))
+    t0_done = time.perf_counter()
+    lats = [f.result(timeout=120)[1] for f in futures]
+    drain_s = time.perf_counter() - t0_done
+    return {
+        "mode": "open-loop", "offered_rate": rate_hz,
+        "requests": len(futures), "dropped": n_dropped,
+        "achieved_rate": round(len(futures) / duration_s, 1),
+        "drain_s_after_stop": round(drain_s, 2),
+        **_percentiles(lats),
+    }
+
+
+def run_closed_loop(server, n_clients, duration_s, seed=0):
+    """n_clients threads, each submit->wait->repeat: saturated throughput."""
+    rng = np.random.default_rng(seed)
+    clip = _random_clip(server.meta, rng)
+    lats, lock = [], threading.Lock()
+    stop = time.perf_counter() + duration_s
+    counts = [0] * n_clients
+
+    def client(ci):
+        local = []
+        while time.perf_counter() < stop:
+            _, lat = server.submit(clip).result(timeout=120)
+            local.append(lat)
+            counts[ci] += 1
+        with lock:
+            lats.extend(local)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    return {
+        "mode": "closed-loop", "clients": n_clients,
+        "requests": int(sum(counts)),
+        "throughput_clips_per_sec": round(sum(counts) / wall, 1),
+        **_percentiles(lats),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bundle", required=True)
+    ap.add_argument("--rate", type=float, default=None,
+                    help="open-loop offered rate (req/s)")
+    ap.add_argument("--closed", type=int, default=None,
+                    help="closed-loop client count")
+    ap.add_argument("--duration", type=float, default=15.0)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--max-inflight", type=int, default=2)
+    ap.add_argument("--out", default=None, help="append JSON result here")
+    args = ap.parse_args()
+
+    server = BundleServer(args.bundle, max_wait_ms=args.max_wait_ms,
+                          max_inflight=args.max_inflight)
+    try:
+        if args.closed:
+            res = run_closed_loop(server, args.closed, args.duration)
+        else:
+            res = run_open_loop(server, args.rate or 100.0, args.duration)
+        res["buckets"] = server.buckets
+        res["batch_hist"] = {str(k): v for k, v in server.batch_hist.items()
+                             if v}
+        res["max_wait_ms"] = args.max_wait_ms
+        print(json.dumps(res))
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(res) + "\n")
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()
