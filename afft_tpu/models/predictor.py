@@ -43,6 +43,10 @@ class BaseFuturePredictor:
         self.attn_pdrop = attn_pdrop
         self.output_attentions = output_attentions
         self.n_positions = n_positions
+        # set by the trainer when train.pipeline_stages > 1: routes the
+        # block stack through parallel/pipeline.py's GPipe schedule over
+        # the mesh's "pipe" axis (see PipelineCtx)
+        self.pipeline_ctx = None
 
     def init(self, rng):
         std = 0.02
@@ -100,6 +104,14 @@ class BaseFuturePredictor:
         mask = L.neg_inf_causal_mask(T, embeds.dtype)
         x = embeds + jnp.take(params["wpe"], position_ids, axis=0)
         x = L.dropout(x, self.embd_pdrop, train, rng)
+        if self.pipeline_ctx is not None and not collect_attn:
+            # GPipe over the mesh "pipe" axis (train.pipeline_stages):
+            # the block stack becomes one scanned shard_map schedule;
+            # microbatch dropout keys ride the stacked params (a stateful
+            # stream can't thread through lax.scan)
+            x = self._forward_pipelined(params, x, mask, train=train,
+                                        rng=rng)
+            return L.layernorm_apply(params["ln_f"], x, 1e-5), None
         from ..ops import pallas_gpt2 as PG
         from ..ops import pallas_gpt2_train as PGT
         if (train and not collect_attn
@@ -135,6 +147,35 @@ class BaseFuturePredictor:
                 attns.append(w)
         x = L.layernorm_apply(params["ln_f"], x, 1e-5)
         return x, (jnp.stack(attns, axis=1) if collect_attn else None)
+
+    def _forward_pipelined(self, params, x, mask, *, train, rng):
+        """Block stack via the GPipe schedule (parallel/pipeline.py).
+
+        Train-mode dropout keys are pre-split per layer and STACKED into
+        the scanned params, with the microbatch index folded in inside
+        block_fn — the per-microbatch mask semantics pinned by
+        tests/test_pipeline.py::test_pipeline_train_mode_dropout."""
+        from ..parallel.pipeline import pipeline_blocks, stack_layer_params
+
+        ctx = self.pipeline_ctx
+        stacked = stack_layer_params(params["blocks"])
+        keyed = train and rng is not None and \
+            (self.attn_pdrop > 0 or self.resid_pdrop > 0)
+        if keyed:
+            layer_keys = jax.random.split(rng.next(), self.n_layer)
+            stacked = {"block": stacked, "rng": layer_keys}
+
+            def block_fn(p, h, m):
+                r = L.RngStream(jax.random.fold_in(p["rng"], m))
+                return self._block(p["block"], h, mask, train=True, rng=r,
+                                   collect_attn=False)[0]
+        else:
+            def block_fn(p, h):
+                return self._block(p, h, mask, train=train, rng=None,
+                                   collect_attn=False)[0]
+        return pipeline_blocks(block_fn, stacked, x, ctx.mesh,
+                               microbatches=ctx.microbatches, axis=ctx.axis,
+                               block_takes_micro_index=keyed)
 
     # -- KV-cache decode (multi-step rollouts) ---------------------------
     def _block_cached(self, p, x, kv_cache, layer, pos):

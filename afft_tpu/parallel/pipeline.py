@@ -78,7 +78,11 @@ def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
     micro = x.reshape(M, B // M, *x.shape[1:])
     pspec = jax.tree.map(lambda _: P(axis), stacked_params)
 
-    @partial(shard_map, mesh=mesh,
+    # map over the pipe axis only: on a multi-axis mesh (e.g. data x pipe
+    # inside the sharded train step) the other axes stay "auto", so the
+    # batch keeps its outer data-sharding and GSPMD partitions the stage
+    # compute over data as usual — pipeline composes with DP/ZeRO for free
+    @partial(shard_map, mesh=mesh, axis_names=frozenset({axis}),
              in_specs=(pspec, P()), out_specs=P(),
              check_vma=False)
     def run(p_local, micro_all):
@@ -129,3 +133,32 @@ def make_mesh_pipe(stages: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     assert len(devices) >= stages
     return Mesh(np.asarray(devices[:stages]), ("pipe",))
+
+
+def make_mesh_data_pipe(stages: int, devices=None) -> Mesh:
+    """(data, pipe) mesh using every device: DP over hosts/replicas x
+    GPipe stages. Consecutive devices form a stage group so the
+    per-microbatch ppermute hops ride neighbouring ICI links."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % stages == 0, \
+        f"pipeline_stages={stages} must divide device count {n}"
+    arr = np.asarray(devices).reshape(n // stages, stages)
+    return Mesh(arr, ("data", "pipe"))
+
+
+class PipelineCtx:
+    """Trainer-side handle injected into a model's deep block stacks
+    (``predictor.pipeline_ctx``) when ``train.pipeline_stages > 1``."""
+
+    def __init__(self, mesh: Mesh, microbatches: int, axis: str = "pipe"):
+        assert axis in mesh.axis_names, \
+            f"mesh {mesh.axis_names} has no '{axis}' axis"
+        self.mesh = mesh
+        self.microbatches = int(microbatches)
+        self.axis = axis
+
+    @property
+    def stages(self) -> int:
+        return int(dict(zip(self.mesh.axis_names,
+                            self.mesh.devices.shape))[self.axis])

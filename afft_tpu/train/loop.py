@@ -327,7 +327,25 @@ def main(cfg: Config, interactive: bool = True):
                     class_weights=class_weights, master_dtype=master_dtype)
     metric_tracker = MetricTracker(num_classes)
 
-    mesh = make_mesh()
+    pipe_stages = int(cfg.train.get("pipeline_stages") or 0)
+    if pipe_stages > 1:
+        # GPipe for the predictor block stack: mesh gains a "pipe" axis,
+        # the stack runs parallel/pipeline.py's one-scan schedule inside
+        # the same jitted train step; composes with DP (and ZeRO below)
+        # because the schedule maps over the pipe axis only
+        from ..parallel.pipeline import PipelineCtx, make_mesh_data_pipe
+        mesh = make_mesh_data_pipe(pipe_stages)
+        micro = int(cfg.train.get("pipeline_microbatches") or pipe_stages)
+        proto = model.future_predictor.predictor_proto
+        assert proto.n_layer % pipe_stages == 0, \
+            f"fp_layers={proto.n_layer} must divide over " \
+            f"pipeline_stages={pipe_stages}"
+        proto.pipeline_ctx = PipelineCtx(mesh, microbatches=micro)
+        log.info("pipeline parallelism: %d stages x %d-way data, "
+                 "%d microbatches", pipe_stages,
+                 mesh.devices.shape[0], micro)
+    else:
+        mesh = make_mesh()
     if cfg.train.get("zero_sharding"):
         # ZeRO-1: optimizer state sharded over the data axis; GSPMD turns
         # the DP update into reduce-scatter -> local update -> all-gather.

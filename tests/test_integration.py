@@ -508,3 +508,89 @@ def test_zero1_composes_with_tensor_parallel():
     assert np.isclose(results["dp"][0], results["tp+zero"][0], rtol=1e-5)
     np.testing.assert_allclose(results["dp"][1], results["tp+zero"][1],
                                rtol=1e-5, atol=1e-6)
+
+
+NO_PDROP = ("model.common.embd_pdrop=0.0", "model.common.resid_pdrop=0.0",
+            "model.common.attn_pdrop=0.0", "model.dropout=0.0")
+
+
+def test_pipeline_ctx_eval_forward_matches():
+    """predictor.pipeline_ctx (train.pipeline_stages wiring): the GPipe
+    route through the GPT-2 stack is semantically invisible in eval."""
+    from afft_tpu.parallel.pipeline import (PipelineCtx,
+                                            make_mesh_data_pipe)
+
+    cfg = tiny_cfg()
+    model = BaseModel(cfg.model, num_classes={"action": 13})
+    params = model.init(jax.random.key(0))
+    batch = make_batch(cfg)
+    ref, _ = model.apply(params, batch["data_dict"], train=False)
+    ref = np.asarray(ref["logits/action"]["all-fused"])
+
+    proto = model.future_predictor.predictor_proto
+    proto.pipeline_ctx = PipelineCtx(make_mesh_data_pipe(2),
+                                     microbatches=4)
+    try:
+        out, _ = model.apply(params, batch["data_dict"], train=False)
+    finally:
+        proto.pipeline_ctx = None
+    np.testing.assert_allclose(
+        np.asarray(out["logits/action"]["all-fused"]), ref,
+        rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_stages_train_step_matches_plain():
+    """Full train step with the predictor stack pipelined over a
+    (data=4, pipe=2) mesh == the plain 8-way DP step (dropout off: the
+    per-microbatch mask semantics legitimately differ under pipelining,
+    everything else must not)."""
+    from afft_tpu.parallel.pipeline import (PipelineCtx,
+                                            make_mesh_data_pipe)
+
+    cfg = tiny_cfg(extra=NO_PDROP)
+    batch = make_batch(cfg)
+    results = {}
+    for pipelined in (False, True):
+        model, params, opt_state, runner = build_runner(cfg, mixup=False,
+                                                        donate=False)
+        mesh = make_mesh_data_pipe(2) if pipelined \
+            else make_mesh(jax.devices())
+        if pipelined:
+            model.future_predictor.predictor_proto.pipeline_ctx = \
+                PipelineCtx(mesh, microbatches=2)
+        p = replicate_tree(mesh, params)
+        s = replicate_tree(mesh, opt_state)
+        db = shard_batch(mesh, batch)
+        for step in range(2):
+            p, s, losses, _, _ = runner.train_step(p, s, db, 0.01, 0.01,
+                                                   jax.random.key(step))
+        results[pipelined] = (float(losses["total_loss"]),
+                              np.asarray(jax.tree.leaves(p)[0]))
+    assert np.isclose(results[False][0], results[True][0], rtol=1e-5), \
+        results
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_stages_train_dropout_runs():
+    """Pipelined train step WITH dropout: per-microbatch keyed masks
+    (stacked into the scanned params) produce a finite loss and updated
+    params — the semantics are pinned exactly in test_pipeline.py."""
+    from afft_tpu.parallel.pipeline import (PipelineCtx,
+                                            make_mesh_data_pipe)
+
+    cfg = tiny_cfg()
+    batch = make_batch(cfg)
+    model, params, opt_state, runner = build_runner(cfg, mixup=True,
+                                                    donate=False)
+    mesh = make_mesh_data_pipe(2)
+    model.future_predictor.predictor_proto.pipeline_ctx = \
+        PipelineCtx(mesh, microbatches=4)
+    p = replicate_tree(mesh, params)
+    s = replicate_tree(mesh, opt_state)
+    db = shard_batch(mesh, batch)
+    before = np.asarray(jax.tree.leaves(p)[0]).copy()
+    p, s, losses, _, _ = runner.train_step(p, s, db, 0.01, 0.01,
+                                           jax.random.key(3))
+    assert np.isfinite(float(losses["total_loss"]))
+    assert not np.allclose(before, np.asarray(jax.tree.leaves(p)[0]))
