@@ -145,3 +145,67 @@ def test_open_and_closed_loop_smoke(bundle):
         assert res2["p50_ms"] <= res2["p99_ms"]
     finally:
         server.close()
+
+
+def test_int8_transport_topk_bundle(tmp_path):
+    """Quantized-transport serving: the int8+topk bundle takes per-frame
+    int8 features + fp32 scales (half the link bytes), dequantizes
+    on-device, and returns (values, indices) of the top-k classes. Each
+    request's top-1 must match the dense fp32 forward and the returned
+    scores must sit near the dense logits (int8 feature rounding is the
+    only error source; bounded like the packed-store int8 path)."""
+    import jax.numpy as jnp
+    from export_serving import build_serving_fn, export_bundle
+    from serve_bundle import load_bundle
+    from serve_concurrent import BundleServer
+    from afft_tpu.config import compose
+
+    cfg = compose("afft_tpu/conf", CFG)
+    bundle = str(tmp_path / "bundle_i8")
+    export_bundle(cfg, bundle, NUM_CLASSES, batch=[2, 4], n_frames=6,
+                  dtype="float32", log=lambda *a: None,
+                  input_dtype="int8", topk=3)
+    import json as _json
+    meta = _json.load(open(os.path.join(bundle, "meta.json")))
+    assert meta["input_dtype"] == "int8" and meta["topk"] == 3
+
+    # dense fp32 reference on the SAME params (seed-matched init)
+    _, params, fwd = build_serving_fn(cfg, NUM_CLASSES, "float32")
+    clips = _clips(4, seed=3)
+    refs = []
+    for c in clips:
+        feats = {m: jnp.asarray(np.broadcast_to(c[m], (4, 6, 16)))
+                 for m in c}
+        refs.append(np.asarray(fwd(params, feats))[0])
+
+    server = BundleServer(bundle, max_wait_ms=20.0)
+    try:
+        futs = [server.submit(c) for c in clips]
+        for i, fut in enumerate(futs):
+            (vals, idx), _lat = fut.result(timeout=60)
+            assert vals.shape == (3,) and idx.shape == (3,)
+            assert idx[0] == int(refs[i].argmax()), (idx, refs[i].argmax())
+            rel = np.abs(vals - refs[i][idx]).max() / \
+                (np.abs(refs[i]).max() + 1e-9)
+            assert rel < 0.05, rel
+    finally:
+        server.close()
+
+
+def test_serve_bundle_replay_int8_topk(tmp_path):
+    """serve_bundle.load_bundle replays int8/topk graphs (random batch
+    path used by the --iters bench)."""
+    from export_serving import export_bundle
+    from serve_bundle import _random_batch, load_bundle
+    from afft_tpu.config import compose
+
+    cfg = compose("afft_tpu/conf", CFG)
+    bundle = str(tmp_path / "bundle_i8b")
+    export_bundle(cfg, bundle, NUM_CLASSES, batch=2, n_frames=6,
+                  dtype="float32", log=lambda *a: None,
+                  input_dtype="int8", topk=2)
+    fn, params, meta = load_bundle(bundle)
+    args = _random_batch(meta)
+    vals, idx = fn(params, *args)
+    assert vals.shape == (2, 2) and idx.shape == (2, 2)
+    assert np.isfinite(np.asarray(vals)).all()

@@ -46,8 +46,20 @@ def read_expt_overrides(path):
     return run.read_file_into_cli(path)
 
 
-def build_serving_fn(cfg, num_classes, dtype):
-    """(model, params, fwd, modal_dims): fwd(params, feats) -> fp32 logits."""
+def build_serving_fn(cfg, num_classes, dtype, input_dtype="native",
+                     topk=0):
+    """(model, params, fwd): fwd(params, feats[, scales]) -> fp32 logits,
+    or (values, indices) when ``topk`` > 0.
+
+    ``input_dtype='int8'`` makes the graph take per-frame-quantized int8
+    features plus fp32 scales (B, T) per modality and dequantize
+    ON-DEVICE — halving the client->accelerator feature bytes, the same
+    symmetric per-frame scheme as the framework's int8 packed stores
+    (afft_tpu/data/readers.py). ``topk`` returns only the top-k
+    (score, class) pairs per clip, cutting the response payload ~C/k x.
+    Both knobs exist because serving is often LINK-bound, not
+    compute-bound (measured on this image: 47 MB/s host link vs 7,100
+    clips/s device service rate)."""
     import jax
     import jax.numpy as jnp
     from afft_tpu.models import BaseModel
@@ -60,8 +72,9 @@ def build_serving_fn(cfg, num_classes, dtype):
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
     output_len = int(cfg.model.common.get("fp_output_len") or 1)
+    feat_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
-    def fwd(p, feats):
+    def head_logits(p, feats):
         outputs, _ = model.apply(p, feats, train=False)
         heads = outputs["logits/action"]
         modk = "all-fused" if "all-fused" in heads else next(iter(heads))
@@ -71,13 +84,27 @@ def build_serving_fn(cfg, num_classes, dtype):
         # anticipated step (B, output_len, C)
         if output_len == 1:
             logits = logits[:, 0, :]
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if topk:
+            return jax.lax.top_k(logits, topk)
+        return logits
+
+    if input_dtype == "int8":
+        def fwd(p, feats_q, scales):
+            feats = {m: feats_q[m].astype(feat_dtype)
+                     * scales[m][..., None].astype(feat_dtype)
+                     for m in feats_q}
+            return head_logits(p, feats)
+    else:
+        def fwd(p, feats):
+            return head_logits(p, feats)
 
     return model, params, fwd
 
 
 def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
-                  ckpt_paths=None, log=print):
+                  ckpt_paths=None, log=print, input_dtype="native",
+                  topk=0):
     """``batch`` is an int or a list of ints. A list exports one graph per
     batch-size bucket (``serving_b{B}.jaxexport``) sharing one params
     checkpoint — static shapes are a TPU-compilation fact of life, so a
@@ -94,7 +121,9 @@ def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
                       (batch if isinstance(batch, (list, tuple)) else
                        [batch])})
     batch = buckets[-1]
-    model, params, fwd = build_serving_fn(cfg, num_classes, dtype)
+    model, params, fwd = build_serving_fn(cfg, num_classes, dtype,
+                                          input_dtype=input_dtype,
+                                          topk=topk)
     if ckpt_paths:
         from afft_tpu.train.checkpoint import init_from_model
         import logging
@@ -112,9 +141,20 @@ def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
     os.makedirs(out_dir, exist_ok=True)
     exp = None
     for b in buckets:
-        feats_spec = {m: jax.ShapeDtypeStruct((b, n_frames, d), feat_dtype)
-                      for m, d in modal_dims.items()}
-        exp = jexport.export(jax.jit(fwd))(params, feats_spec)
+        if input_dtype == "int8":
+            feats_spec = {m: jax.ShapeDtypeStruct((b, n_frames, d),
+                                                  jnp.int8)
+                          for m, d in modal_dims.items()}
+            scales_spec = {m: jax.ShapeDtypeStruct((b, n_frames),
+                                                   jnp.float32)
+                           for m in modal_dims}
+            exp = jexport.export(jax.jit(fwd))(params, feats_spec,
+                                               scales_spec)
+        else:
+            feats_spec = {m: jax.ShapeDtypeStruct((b, n_frames, d),
+                                                  feat_dtype)
+                          for m, d in modal_dims.items()}
+            exp = jexport.export(jax.jit(fwd))(params, feats_spec)
         with open(os.path.join(out_dir, bucket_graph_name(b)), "wb") as f:
             f.write(exp.serialize())
     # largest bucket doubles as the legacy single-graph entry point
@@ -126,6 +166,8 @@ def export_bundle(cfg, out_dir, num_classes, batch, n_frames, dtype,
     meta = {
         "batch": batch,
         "batch_buckets": buckets,
+        "input_dtype": input_dtype,
+        "topk": int(topk),
         "output_len": int(cfg.model.common.get("fp_output_len") or 1),
         "num_frames": n_frames,
         "modal_dims": modal_dims,
@@ -166,6 +208,14 @@ def main():
     ap.add_argument("--output-len", type=int, default=None,
                     help="override model.common.fp_output_len (>1 exports "
                          "the KV-cache multi-step rollout graph)")
+    ap.add_argument("--input-dtype", default="native",
+                    choices=["native", "int8"],
+                    help="int8: graph takes per-frame-quantized features "
+                         "+ fp32 scales, dequantizes on-device (halves "
+                         "client->device feature bytes)")
+    ap.add_argument("--topk", type=int, default=0,
+                    help=">0: graph returns (values, indices) of the "
+                         "top-k classes instead of dense logits")
     args = ap.parse_args()
 
     from afft_tpu.config import compose
@@ -181,7 +231,8 @@ def main():
         ckpts = [os.path.join(REPO, "checkpoints", p) for p in args.ckpt]
     batch = [int(b) for b in str(args.batch).split(",")]
     export_bundle(cfg, args.out, num_classes, batch, n_frames,
-                  args.dtype, ckpts)
+                  args.dtype, ckpts, input_dtype=args.input_dtype,
+                  topk=args.topk)
 
 
 if __name__ == "__main__":

@@ -69,12 +69,22 @@ def load_bundle_buckets(bundle_dir):
 
 
 def _random_batch(meta, seed=0):
+    """fn args for a random batch: (feats,) or (feats, scales) for
+    int8-transport bundles."""
     import jax.numpy as jnp
     rng = np.random.default_rng(seed)
+    B, T = meta["batch"], meta["num_frames"]
+    if meta.get("input_dtype") == "int8":
+        feats = {m: jnp.asarray(rng.integers(
+            -127, 128, (B, T, d)).astype(np.int8))
+            for m, d in meta["modal_dims"].items()}
+        scales = {m: jnp.ones((B, T), jnp.float32)
+                  for m in meta["modal_dims"]}
+        return feats, scales
     dt = jnp.bfloat16 if meta["feat_dtype"] == "bfloat16" else jnp.float32
-    return {m: jnp.asarray(rng.standard_normal(
-        (meta["batch"], meta["num_frames"], d)).astype(np.float32)).astype(dt)
-        for m, d in meta["modal_dims"].items()}
+    return ({m: jnp.asarray(rng.standard_normal(
+        (B, T, d)).astype(np.float32)).astype(dt)
+        for m, d in meta["modal_dims"].items()},)
 
 
 def main():
@@ -90,15 +100,19 @@ def main():
 
     fn, params, meta = load_bundle(args.bundle)
     if args.input:
+        assert meta.get("input_dtype") != "int8", \
+            "--input expects a native-dtype bundle (quantized transport " \
+            "is driven by tools/serve_concurrent.py)"
         loaded = np.load(args.input)
         dt = jnp.bfloat16 if meta["feat_dtype"] == "bfloat16" \
             else jnp.float32
-        feats = {m: jnp.asarray(loaded[m]).astype(dt)
-                 for m in meta["modal_dims"]}
+        fn_args = ({m: jnp.asarray(loaded[m]).astype(dt)
+                    for m in meta["modal_dims"]},)
     else:
-        feats = _random_batch(meta)
+        fn_args = _random_batch(meta)
 
-    logits = fn(params, feats)
+    out = fn(params, *fn_args)
+    logits = out[0] if isinstance(out, (tuple, list)) else out  # topk: values
     force_device_sync(logits)
     print(json.dumps({
         "bundle": args.bundle,
@@ -110,8 +124,8 @@ def main():
         t0 = time.perf_counter()
         out = None
         for _ in range(args.iters):
-            out = fn(params, feats)
-        force_device_sync(out)
+            out = fn(params, *fn_args)
+        force_device_sync(out[0] if isinstance(out, (tuple, list)) else out)
         dt_s = time.perf_counter() - t0
         clips = meta["batch"] * args.iters / dt_s
         print(json.dumps({"clips_per_sec": round(clips, 1),
