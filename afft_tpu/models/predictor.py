@@ -154,7 +154,16 @@ class BaseFuturePredictor:
         Train-mode dropout keys are pre-split per layer and STACKED into
         the scanned params, with the microbatch index folded in inside
         block_fn — the per-microbatch mask semantics pinned by
-        tests/test_pipeline.py::test_pipeline_train_mode_dropout."""
+        tests/test_pipeline.py::test_pipeline_train_mode_dropout.
+
+        Known cost: stack_layer_params concatenates the per-layer params
+        into the L-leading layout INSIDE the step (and its VJP slices the
+        gradients back), so each pipelined step pays one extra
+        read+write of the predictor weights in HBM. Removing it means
+        storing predictor params natively stacked when pipelining —
+        a checkpoint/torch-import/TP-rule layout change not worth making
+        until a real multi-chip mesh exists to measure the schedule on
+        (single-chip perf is untestable for this path; see NEXT.md)."""
         from ..parallel.pipeline import pipeline_blocks, stack_layer_params
 
         ctx = self.pipeline_ctx

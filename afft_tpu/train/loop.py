@@ -357,7 +357,7 @@ def main(cfg: Config, interactive: bool = True):
         repl = NamedSharding(mesh, PartitionSpec())
         runner.param_shardings = jax.tree.map(lambda _: repl, params)
         log.info("optimizer state sharded over %d-way data axis (ZeRO-1)",
-                 mesh.devices.size)
+                 mesh.devices.shape[0])
     else:
         place_opt_state = lambda t: replicate_tree(mesh, t)
 

@@ -132,6 +132,36 @@ def test_bucket_selection_smallest_fit(bundle):
         server.close()
 
 
+def test_malformed_request_fails_future_not_server(bundle):
+    """A request with a wrong feature shape (or missing modality) must
+    fail ITS OWN future; the scheduler thread survives and keeps serving
+    subsequent well-formed requests."""
+    from serve_concurrent import BundleServer
+
+    server = BundleServer(bundle, max_wait_ms=1.0)
+    try:
+        bad_shape = {m: np.zeros((6, 99), np.float32)
+                     for m in ("rgb", "flow")}
+        with pytest.raises(Exception):
+            server.submit(bad_shape).result(timeout=60)
+        missing_mod = {"rgb": np.zeros((6, 16), np.float32)}
+        with pytest.raises(KeyError):
+            server.submit(missing_mod).result(timeout=60)
+        # server still alive: a good request round-trips
+        logits, _ = server.submit(_clips(1)[0]).result(timeout=60)
+        assert logits.shape == (11,)
+    finally:
+        server.close()
+
+
+def test_percentiles_empty_is_none():
+    from serve_concurrent import _percentiles
+
+    res = _percentiles([])
+    assert res == {"p50_ms": None, "p95_ms": None, "p99_ms": None,
+                   "mean_ms": None}
+
+
 def test_open_and_closed_loop_smoke(bundle):
     from serve_concurrent import (BundleServer, run_closed_loop,
                                   run_open_loop)

@@ -57,11 +57,14 @@ def load_bundle_buckets(bundle_dir):
     fns = {}
     for b in buckets:
         path = os.path.join(bundle_dir, bucket_graph_name(b))
-        if os.path.exists(path):
+        if int(b) == int(meta["batch"]):
+            # serving.jaxexport IS the largest bucket (export writes the
+            # same serialization twice) — reuse the already-deserialized
+            # graph instead of loading the byte-identical bucket file
+            fns[int(b)] = fn
+        elif os.path.exists(path):
             with open(path, "rb") as f:
                 fns[int(b)] = jax.jit(jexport.deserialize(f.read()).call)
-        elif int(b) == int(meta["batch"]):
-            fns[int(b)] = fn  # largest bucket == the legacy graph
         else:
             raise FileNotFoundError(
                 f"bundle meta lists bucket {b} but {path} is missing")

@@ -150,39 +150,55 @@ class BundleServer:
             reqs = self._collect()
             if not reqs:
                 continue
-            n = len(reqs)
-            bucket = next(b for b in self.buckets if b >= n) \
-                if n <= self.buckets[-1] else self.buckets[-1]
-            T = self.meta["num_frames"]
-            batch, batch_scales = {}, {}
-            for m, d in self.meta["modal_dims"].items():
-                if self._int8:
-                    # per-frame symmetric quantization, the packed-store
-                    # scheme (readers.PackedFeatureStore._quantize_rows):
-                    # the graph dequantizes on-device, so the link carries
-                    # 1 byte/feature + one fp32 scale per frame
-                    x = np.zeros((bucket, T, d), np.float32)
-                    for i, (feats, _, _) in enumerate(reqs):
-                        x[i] = feats[m]
-                    absmax = np.abs(x).max(axis=-1)
-                    scales = np.where(absmax > 0, absmax / 127.0,
-                                      1.0).astype(np.float32)
-                    q = np.clip(np.rint(x / scales[..., None]), -127, 127)
-                    batch[m] = self._jnp.asarray(q.astype(np.int8))
-                    batch_scales[m] = self._jnp.asarray(scales)
-                else:
-                    arr = np.zeros((bucket, T, d), self._np_dtype)
-                    for i, (feats, _, _) in enumerate(reqs):
-                        arr[i] = feats[m]  # numpy casts on assignment
-                    batch[m] = self._jnp.asarray(arr)
-            args = (batch, batch_scales) if self._int8 else (batch,)
-            # bound device-queue depth, then dispatch WITHOUT waiting for
-            # the result: jax execution is async, the completer owns the
-            # blocking device->host readback
-            self._inflight.acquire()
+            try:
+                self._dispatch(reqs)
+            except Exception as e:
+                # a malformed request (wrong dim, missing modality) or a
+                # dispatch failure must not kill the scheduler thread:
+                # fail THIS batch's futures and keep serving
+                for _, fut, _ in reqs:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _dispatch(self, reqs):
+        # _collect caps the batch at buckets[-1], so a fitting bucket
+        # always exists
+        bucket = next(b for b in self.buckets if b >= len(reqs))
+        T = self.meta["num_frames"]
+        batch, batch_scales = {}, {}
+        for m, d in self.meta["modal_dims"].items():
+            if self._int8:
+                # per-frame symmetric quantization — the SAME helper the
+                # int8 packed stores use, so the serving transport stays
+                # locked to the accuracy envelope the store tests pin;
+                # the graph dequantizes on-device, so the link carries
+                # 1 byte/feature + one fp32 scale per frame
+                from afft_tpu.data.readers import PackedFeatureStore
+                x = np.zeros((bucket, T, d), np.float32)
+                for i, (feats, _, _) in enumerate(reqs):
+                    x[i] = feats[m]
+                q, scales = PackedFeatureStore._quantize_rows(
+                    x.reshape(bucket * T, d))
+                batch[m] = self._jnp.asarray(q.reshape(bucket, T, d))
+                batch_scales[m] = self._jnp.asarray(
+                    scales.reshape(bucket, T))
+            else:
+                arr = np.zeros((bucket, T, d), self._np_dtype)
+                for i, (feats, _, _) in enumerate(reqs):
+                    arr[i] = feats[m]  # numpy casts on assignment
+                batch[m] = self._jnp.asarray(arr)
+        args = (batch, batch_scales) if self._int8 else (batch,)
+        # bound device-queue depth, then dispatch WITHOUT waiting for
+        # the result: jax execution is async, the completer owns the
+        # blocking device->host readback
+        self._inflight.acquire()
+        try:
             out = self.fns[bucket](self.params, *args)
-            self.batch_hist[bucket] += 1
-            self._done_q.put((out, reqs))
+        except Exception:
+            self._inflight.release()
+            raise
+        self.batch_hist[bucket] += 1
+        self._done_q.put((out, reqs))
 
     def _completer(self):
         while True:
@@ -208,6 +224,9 @@ class BundleServer:
 
 
 def _percentiles(lat_s):
+    if not len(lat_s):  # e.g. duration shorter than one batch latency
+        return {"p50_ms": None, "p95_ms": None, "p99_ms": None,
+                "mean_ms": None}
     lat = np.sort(np.asarray(lat_s)) * 1e3
     pick = lambda p: float(lat[min(len(lat) - 1,
                                    int(round(p / 100 * (len(lat) - 1))))])
@@ -231,7 +250,6 @@ def run_open_loop(server, rate_hz, duration_s, seed=0):
     clip = _random_clip(server.meta, rng)  # same payload; timing is the test
     futures = []
     t_end = time.perf_counter() + duration_s
-    n_dropped = 0
     while time.perf_counter() < t_end:
         futures.append(server.submit(clip))
         time.sleep(rng.exponential(1.0 / rate_hz))
@@ -240,7 +258,7 @@ def run_open_loop(server, rate_hz, duration_s, seed=0):
     drain_s = time.perf_counter() - t0_done
     return {
         "mode": "open-loop", "offered_rate": rate_hz,
-        "requests": len(futures), "dropped": n_dropped,
+        "requests": len(futures),
         "achieved_rate": round(len(futures) / duration_s, 1),
         "drain_s_after_stop": round(drain_s, 2),
         **_percentiles(lats),
