@@ -594,3 +594,50 @@ def test_pipeline_stages_train_dropout_runs():
                                            jax.random.key(3))
     assert np.isfinite(float(losses["total_loss"]))
     assert not np.allclose(before, np.asarray(jax.tree.leaves(p)[0]))
+
+
+def test_train_step_multistep_rollout_fp_output_len():
+    """fp_output_len=3 TRAINS: the future head emits (B, 3, C) and the
+    future CE averages all 3 rollout steps against the (repeated) target.
+
+    Beyond-reference on purpose: the reference's MultiDimCrossEntropy
+    flattens logits to (B*3, C) against a (B,) target, which shape-errors
+    in torch — fp_output_len>1 is generate-only upstream
+    (reference common/runner.py:26-28, models/future_prediction.py:396-412).
+    Here the repeated-target semantics (losses.future_action_terms) make
+    the config trainable; this pins that the full train step runs and the
+    loss equals the mean of the per-step CEs."""
+    from afft_tpu.train.losses import cross_entropy_index
+
+    cfg = tiny_cfg(extra=[
+        "model.common.fp_output_len=3",
+        # zero every stochastic site so the train-step loss is exactly
+        # reproducible from a train=False forward
+        "model.dropout=0.0", "model.common.embd_pdrop=0.0",
+        "model.common.resid_pdrop=0.0", "model.common.attn_pdrop=0.0",
+        "model.fuser.embd_drop_rate=0.0", "model.fuser.drop_rate=0.0",
+        "model.fuser.attn_drop_rate=0.0",
+        "model.fuser.drop_path_rate=0.0"])
+    batch = make_batch(cfg)
+    model, params, opt_state, runner = build_runner(cfg, mixup=False,
+                                                    donate=False)
+
+    outputs, _ = model.apply(params, batch["data_dict"], train=False)
+    logits = outputs["logits/action"]["all-fused"]
+    assert logits.shape == (8, 3, 13)
+    per_step = np.stack([
+        np.asarray(cross_entropy_index(logits[:, i, :],
+                                       jnp.asarray(batch["target"]["action"])))
+        for i in range(3)])
+    expect_ce = float(per_step.mean())
+
+    mesh = make_mesh(jax.devices()[:1])
+    p = replicate_tree(mesh, params)
+    s = replicate_tree(mesh, opt_state)
+    db = shard_batch(mesh, batch)
+    p, s, losses, metrics, _ = runner.train_step(p, s, db, 0.0, 0.01,
+                                                 jax.random.key(1))
+    # lr 0 isolates the loss computation from the update
+    assert np.isclose(float(losses["cls_action_all-fused"]), expect_ce,
+                      rtol=1e-5), (losses, expect_ce)
+    assert np.isfinite(float(losses["total_loss"]))
