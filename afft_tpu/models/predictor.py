@@ -41,6 +41,15 @@ class BaseFuturePredictor:
         self.embd_pdrop = embd_pdrop
         self.resid_pdrop = resid_pdrop
         self.attn_pdrop = attn_pdrop
+        # MUST be a real bool: a truthy junk value (e.g. a yaml scalar that
+        # swallowed an inline comment) silently forces the
+        # collect-attention path — no fused kernels, no KV-cache rollout —
+        # a ~2x serving regression that nothing else would catch
+        if not isinstance(output_attentions, bool):
+            raise TypeError(
+                f"output_attentions must be a bool, got "
+                f"{output_attentions!r} — check "
+                f"model.common.fp_output_attentions in the config")
         self.output_attentions = output_attentions
         self.n_positions = n_positions
         # set by the trainer when train.pipeline_stages > 1: routes the
@@ -187,33 +196,39 @@ class BaseFuturePredictor:
                                block_takes_micro_index=keyed)
 
     # -- KV-cache decode (multi-step rollouts) ---------------------------
-    def _block_cached(self, p, x, kv_cache, layer, pos):
-        """One block over new tokens x (B, S, C) with a preallocated
-        (B, L, Tmax, 2, H, hd) cache; writes this step's k/v at ``pos``."""
+    def _block_cached(self, p, x, kc, vc, pos):
+        """One block over new tokens x (B, S, C) with THIS layer's
+        preallocated (B, Tmax, H, hd) k/v caches; writes this step's k/v
+        at ``pos``.
+
+        Per-layer cache arrays (not one (B, L, Tmax, 2, H, hd) monolith):
+        measured in the full flagship serving graph the monolithic layout
+        costs ~17 ms per cached decode step at B=256 — XLA stops
+        in-place-updating the 226 MB buffer once the surrounding graph is
+        big enough and every layer's dynamic_update_slice turns into a
+        full-cache copy. The 19 MB per-layer buffers alias reliably:
+        same rollout measures ~4 ms/step (KVROLLOUT_r03.json, both)."""
         Bsz, S, C = x.shape
         hd = C // self.n_head
         h = L.layernorm_apply(p["ln_1"], x, 1e-5)
         qkv = L.linear_apply(p["c_attn"], h).reshape(
             Bsz, S, self.n_head, 3, hd)  # heads-major packing, see _block
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
-        kv_cache = jax.lax.dynamic_update_slice(
-            kv_cache, jnp.stack([k, v], axis=2)[:, None],
-            (0, layer, pos, 0, 0, 0))
-        ks = kv_cache[:, layer, :, 0]
-        vs = kv_cache[:, layer, :, 1]
+        kc = jax.lax.dynamic_update_slice(kc, k, (0, pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v, (0, pos, 0, 0))
         # mask future/unwritten cache slots
-        Tmax = ks.shape[1]
+        Tmax = kc.shape[1]
         key_pos = jnp.arange(Tmax)[None, :]
         query_pos = pos + jnp.arange(S)[:, None]
         mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf)
         attn_out, _ = _attention_ops.multihead_attention(
-            q, ks, vs, mask=mask, return_weights=False)
+            q, kc, vc, mask=mask, return_weights=False)
         attn_out = L.linear_apply(p["c_proj"], attn_out.reshape(Bsz, S, C))
         x = x + attn_out
         h = L.layernorm_apply(p["ln_2"], x, 1e-5)
         h = L.gelu_new(L.linear_apply(p["c_fc"], h))
         h = L.linear_apply(p["mlp_c_proj"], h)
-        return x + h, kv_cache
+        return x + h, kc, vc
 
     def _apply_kv_cache(self, params, feats, output_len: int):
         """Eval-mode rollout with a KV cache: prefill T tokens once, then
@@ -222,15 +237,17 @@ class BaseFuturePredictor:
         Bsz, T, C = feats.shape
         hd = C // self.n_head
         Tmax = T + output_len - 1
-        kv_cache = jnp.zeros((Bsz, self.n_layer, Tmax, 2, self.n_head, hd),
-                             feats.dtype)
+        kcs = [jnp.zeros((Bsz, Tmax, self.n_head, hd), feats.dtype)
+               for _ in range(self.n_layer)]
+        vcs = [jnp.zeros((Bsz, Tmax, self.n_head, hd), feats.dtype)
+               for _ in range(self.n_layer)]
 
         def run(tokens, pos):
-            nonlocal kv_cache
             x = tokens + jnp.take(params["wpe"],
                                   pos + jnp.arange(tokens.shape[1]), axis=0)
             for layer, p in enumerate(params["blocks"]):
-                x, kv_cache = self._block_cached(p, x, kv_cache, layer, pos)
+                x, kcs[layer], vcs[layer] = self._block_cached(
+                    p, x, kcs[layer], vcs[layer], pos)
             return L.layernorm_apply(params["ln_f"], x, 1e-5)
 
         hidden = run(feats, 0)                       # prefill: (B, T, C)
