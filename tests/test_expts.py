@@ -54,3 +54,35 @@ def test_expt_composes_and_builds(expt):
     # flagship 4-modal SA-Fuser configs land at ~390M params (SURVEY scale)
     if "01_SA-Fuser_ek100_train" in expt:
         assert 3.5e8 < n_params < 4.3e8, n_params
+
+
+def _walk_scalars(node, path=""):
+    if hasattr(node, "items"):
+        for k, v in node.items():
+            yield from _walk_scalars(v, f"{path}.{k}")
+    elif isinstance(node, (list, tuple)):
+        for i, v in enumerate(node):
+            yield from _walk_scalars(v, f"{path}[{i}]")
+    else:
+        yield path, node
+
+
+@pytest.mark.parametrize("expt", [None] + EXPTS,
+                         ids=["defaults"] + [os.path.basename(e)
+                                             for e in EXPTS])
+def test_no_junk_scalars_in_composed_config(expt):
+    """No composed value may contain an unresolved '${' or a swallowed
+    inline comment ('#'): a yaml comment with no space before '#' is part
+    of the scalar, so e.g. output_attentions once resolved to the truthy
+    STRING 'False# return per-layer attention maps' — silently disabling
+    the KV-cache rollout and the fused kernels (a ~2x serving regression
+    that no shape or parity test could see). Guard every config."""
+    overrides = read_file_into_cli(expt) if expt else []
+    cfg = compose(CONF, overrides)
+    tree = cfg.to_container() if hasattr(cfg, "to_container") else cfg
+    for path, v in _walk_scalars(tree):
+        if isinstance(v, str):
+            assert "${" not in v, f"unresolved interpolation at {path}: {v!r}"
+            assert "#" not in v, f"swallowed inline comment at {path}: {v!r}"
+            assert v.strip().lower() not in ("true", "false"), \
+                f"stringly-typed bool at {path}: {v!r}"
