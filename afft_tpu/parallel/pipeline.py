@@ -125,7 +125,13 @@ def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
                         axis)
         return outs
 
-    out = run(stacked_params, micro)
+    # a partially-manual shard_map (axis_names ⊂ mesh axes) only lowers
+    # under jit: called eagerly it rejects out_specs over the auto axes.
+    # The trainer always calls from inside the jitted step; self-jit for
+    # eager callers (eval-forward parity tests, notebooks).
+    eager = not any(isinstance(leaf, jax.core.Tracer)
+                    for leaf in jax.tree.leaves((stacked_params, x)))
+    out = (jax.jit(run) if eager else run)(stacked_params, micro)
     return out.reshape(B, *x.shape[1:])
 
 

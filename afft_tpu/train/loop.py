@@ -324,7 +324,8 @@ def main(cfg: Config, interactive: bool = True):
                     mixup=mixup_fn, mixup_backbone=cfg.train.mixup_backbone,
                     grad_clip=cfg.opt.grad_clip, compute_dtype=compute_dtype,
                     watch_gradients=bool(cfg.train.get("watch_gradients")),
-                    class_weights=class_weights, master_dtype=master_dtype)
+                    class_weights=class_weights, master_dtype=master_dtype,
+                    grad_accum=int(cfg.train.get("grad_accum") or 1))
     metric_tracker = MetricTracker(num_classes)
 
     pipe_stages = int(cfg.train.get("pipeline_stages") or 0)

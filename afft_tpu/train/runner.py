@@ -52,7 +52,8 @@ class Runner:
                  compute_dtype=jnp.float32, donate: bool = True,
                  watch_gradients: bool = False,
                  class_weights: Optional[Dict] = None,
-                 master_dtype=jnp.float32, param_shardings=None):
+                 master_dtype=jnp.float32, param_shardings=None,
+                 grad_accum: int = 1):
         self.model = model
         self.optimizer = optimizer
         self.groups = groups
@@ -82,6 +83,17 @@ class Runner:
         # returned params — every later forward would all-gather weights
         # on demand, ZeRO-3-style, instead of one gather at the update)
         self.param_shardings = param_shardings
+        # train.grad_accum=M: the global batch splits into M sequential
+        # microbatches inside the SAME jitted step (lax.scan), grads
+        # average in fp32, ONE optimizer update applies. Peak activation
+        # memory drops ~M x; batch_size keeps its reference (global)
+        # meaning. Semantics caveats (documented, tested): dropout/mixup
+        # draw per-microbatch (mixup pairs form within a microbatch), and
+        # loss terms with their own denominators (past-CE ignore masks,
+        # ragged valid) combine as microbatch means weighted by valid
+        # count — exact for the standard all-valid case.
+        self.grad_accum = int(grad_accum or 1)
+        assert self.grad_accum >= 1
         donate_argnums = (0, 1, 5) if donate else ()
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=donate_argnums)
@@ -210,17 +222,7 @@ class Runner:
         return total, losses, metrics
 
     # ------------------------------------------------------------------
-    def _train_step_impl(self, params, opt_state, batch, lr_factor, rng_key,
-                         accum):
-        use_mixup = self.mixup is not None
-        # mixed precision: differentiate wrt the persistent compute-dtype
-        # copy (opt_state["params_c"]) instead of casting the fp32 master
-        # inside the loss — grads flow back in the compute dtype (half the
-        # grad HBM traffic) and the per-step 388M-param cast pass vanishes
-        # (the copy is refreshed inside the fused optimizer update below)
-        wrt = params if self._master_low else (
-            opt_state["params_c"] if self._mixed else params)
-
+    def _loss_grads(self, wrt, batch, rng_key, use_mixup):
         def loss_fn(p):
             outputs, outputs_target = self._forward(
                 p, batch, train=True, rng_key=rng_key, use_mixup=use_mixup,
@@ -229,8 +231,72 @@ class Runner:
                 outputs, outputs_target, batch.get("valid"), use_mixup)
             return total, (losses, metrics)
 
-        (total, (losses, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(wrt)
+        return jax.value_and_grad(loss_fn, has_aux=True)(wrt)
+
+    def _accum_loss_grads(self, wrt, batch, rng_key, use_mixup):
+        """grad_accum>1: scan M microbatches, average grads in fp32,
+        combine scalar losses/metrics weighted by per-micro valid counts,
+        restitch metric payloads to full-batch shape."""
+        M = self.grad_accum
+        B = batch["valid"].shape[0]
+        assert B % M == 0, \
+            f"train.grad_accum={M} must divide the global batch {B}"
+        micro = jax.tree.map(
+            lambda x: x.reshape(M, B // M, *x.shape[1:]), batch)
+        # one independent base key per microbatch; the outer fold keeps the
+        # per-micro streams disjoint from the step's own rng_key uses
+        # (mixup split, RngStream site folds, the sr_key sentinel)
+        base = jax.random.fold_in(rng_key, 0x6ACC)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(M))
+
+        def body(gsum, xs):
+            mb, key = xs
+            (t, (ls, ms)), g = self._loss_grads(wrt, mb, key, use_mixup)
+            gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
+                                gsum, g)
+            n = mb["valid"].sum().astype(jnp.float32)
+            return gsum, (t, ls, ms, n)
+
+        g0 = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), wrt)
+        gsum, (totals, losses_s, metrics_s, ns) = jax.lax.scan(
+            body, g0, (micro, keys))
+        w = ns / jnp.maximum(ns.sum(), 1.0)
+        wmean = lambda v: (v.astype(jnp.float32) * w).sum()
+        total = wmean(totals)
+        losses = {k: wmean(v) for k, v in losses_s.items()}
+        metrics = {}
+        for k, v in metrics_s.items():
+            if isinstance(v, dict):  # mt5r payload: back to full-batch rows
+                metrics[k] = {kk: vv.reshape(B, *vv.shape[2:])
+                              for kk, vv in v.items()}
+            else:
+                metrics[k] = wmean(v)
+        grads = jax.tree.map(lambda g, p: (g / M).astype(p.dtype),
+                             gsum, wrt)
+        return (total, (losses, metrics)), grads
+
+    def _train_step_impl(self, params, opt_state, batch, lr_factor, rng_key,
+                         accum):
+        use_mixup = self.mixup is not None
+        if batch.get("valid") is None:
+            batch = dict(batch)
+            batch["valid"] = jnp.ones(
+                (next(iter(batch["target"].values())).shape[0],), bool)
+        # mixed precision: differentiate wrt the persistent compute-dtype
+        # copy (opt_state["params_c"]) instead of casting the fp32 master
+        # inside the loss — grads flow back in the compute dtype (half the
+        # grad HBM traffic) and the per-step 388M-param cast pass vanishes
+        # (the copy is refreshed inside the fused optimizer update below)
+        wrt = params if self._master_low else (
+            opt_state["params_c"] if self._mixed else params)
+
+        if self.grad_accum > 1:
+            (total, (losses, metrics)), grads = self._accum_loss_grads(
+                wrt, batch, rng_key, use_mixup)
+        else:
+            (total, (losses, metrics)), grads = self._loss_grads(
+                wrt, batch, rng_key, use_mixup)
         if self.watch_gradients:
             # reference wandb.watch(model) equivalent (train.py:416): the
             # TPU-idiomatic form is in-step norm scalars fused into the

@@ -641,3 +641,80 @@ def test_train_step_multistep_rollout_fp_output_len():
     assert np.isclose(float(losses["cls_action_all-fused"]), expect_ce,
                       rtol=1e-5), (losses, expect_ce)
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_grad_accum_matches_full_batch():
+    """train.grad_accum=M must reproduce the full-batch update exactly in
+    the clean case: fp32, dropout/mixup off, all samples valid, no past-CE
+    ignore entries — every loss term is a plain mean with equal per-micro
+    denominators, so the averaged microbatch gradient IS the full-batch
+    gradient."""
+    cfg = tiny_cfg(extra=[
+        "model.dropout=0.0", "model.common.embd_pdrop=0.0",
+        "model.common.resid_pdrop=0.0", "model.common.attn_pdrop=0.0",
+        "model.fuser.embd_drop_rate=0.0", "model.fuser.drop_rate=0.0",
+        "model.fuser.attn_drop_rate=0.0",
+        "model.fuser.drop_path_rate=0.0"])
+    batch = make_batch(cfg)
+    # no ignore entries: past-CE denominators equal across microbatches
+    batch["target_subclips"]["action"] = np.abs(
+        batch["target_subclips"]["action"])
+
+    results = {}
+    for accum in (1, 4):
+        model, params, opt_state, runner = build_runner(
+            cfg, mixup=False, donate=False, grad_accum=accum)
+        mesh = make_mesh(jax.devices()[:1])
+        p = replicate_tree(mesh, params)
+        s = replicate_tree(mesh, opt_state)
+        db = shard_batch(mesh, batch)
+        p, s, losses, _, accum_state = runner.train_step(
+            p, s, db, 0.01, 0.01, jax.random.key(1), accum=None)
+        results[accum] = (
+            {k: float(v) for k, v in losses.items()},
+            np.asarray(jax.tree.leaves(p)[0]),
+            {k: float(v) for k, v in jax.device_get(
+                accum_state)["scalars"].items()},
+        )
+    for k, v in results[1][0].items():
+        assert np.isclose(v, results[4][0][k], rtol=2e-5), \
+            (k, v, results[4][0][k])
+    np.testing.assert_allclose(results[1][1], results[4][1],
+                               rtol=1e-5, atol=1e-6)
+    # in-step metric accumulator sees identical epoch sums
+    for k, v in results[1][2].items():
+        assert np.isclose(v, results[4][2][k], rtol=2e-5, atol=1e-5), \
+            (k, v, results[4][2][k])
+
+
+def test_grad_accum_with_mixup_dropout_runs():
+    """Stochastic path: per-microbatch mixup/dropout keys produce a finite
+    loss, an updated params tree, and a correctly-shaped MT5R payload."""
+    cfg = tiny_cfg()
+    batch = make_batch(cfg)
+    model, params, opt_state, runner = build_runner(
+        cfg, mixup=True, donate=False, grad_accum=2)
+    mesh = make_mesh(jax.devices()[:1])
+    p = replicate_tree(mesh, params)
+    s = replicate_tree(mesh, opt_state)
+    db = shard_batch(mesh, batch)
+    before = np.asarray(jax.tree.leaves(p)[0]).copy()
+    p, s, losses, _, accum_state = runner.train_step(
+        p, s, db, 0.01, 0.01, jax.random.key(3), accum=None)
+    assert np.isfinite(float(losses["total_loss"]))
+    assert not np.allclose(before, np.asarray(jax.tree.leaves(p)[0]))
+    host = jax.device_get(accum_state)
+    assert float(host["count"]) == 8.0  # all B rows counted once
+
+
+def test_grad_accum_requires_divisible_batch():
+    cfg = tiny_cfg()
+    batch = make_batch(cfg)  # B=8
+    model, params, opt_state, runner = build_runner(
+        cfg, mixup=False, donate=False, grad_accum=3)
+    mesh = make_mesh(jax.devices()[:1])
+    with pytest.raises(AssertionError, match="grad_accum"):
+        runner.train_step(replicate_tree(mesh, params),
+                          replicate_tree(mesh, opt_state),
+                          shard_batch(mesh, batch), 0.01, 0.01,
+                          jax.random.key(1))
