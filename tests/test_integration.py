@@ -718,3 +718,43 @@ def test_grad_accum_requires_divisible_batch():
                           replicate_tree(mesh, opt_state),
                           shard_batch(mesh, batch), 0.01, 0.01,
                           jax.random.key(1))
+
+
+def test_resume_across_mesh_sizes(tmp_path):
+    """Elastic resume: a checkpoint written from a dp=8 run with
+    ZeRO-1-SHARDED optimizer state (save gathers non-addressable shards
+    to host) must resume on a dp=2 mesh with the exact same next update
+    as resuming on dp=8 — a preempted pod job can restart on a different
+    slice size."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from afft_tpu.parallel.sharding import shard_opt_state
+    from afft_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = tiny_cfg()
+    batch = make_batch(cfg)
+    model, params, opt_state, runner = build_runner(cfg, mixup=False,
+                                                    donate=False)
+    mesh8 = make_mesh(jax.devices()[:8])
+    runner.param_shardings = jax.tree.map(
+        lambda _: NamedSharding(mesh8, PartitionSpec()), params)
+    p = replicate_tree(mesh8, params)
+    s = shard_opt_state(mesh8, opt_state)
+    p, s, *_ = runner.train_step(p, s, shard_batch(mesh8, batch),
+                                 0.01, 0.01, jax.random.key(1))
+    save_checkpoint(tmp_path / "ckpt", p, s, epoch=1, step=1,
+                    best_metric=0.0)
+
+    ckpt = load_checkpoint(tmp_path / "ckpt")
+    results = {}
+    for ndev in (8, 2):
+        _, _, _, runner2 = build_runner(cfg, mixup=False, donate=False)
+        mesh = make_mesh(jax.devices()[:ndev])
+        pp = replicate_tree(mesh, ckpt["model"])
+        ss = replicate_tree(mesh, ckpt["optimizer"])
+        pp, ss, losses, *_ = runner2.train_step(
+            pp, ss, shard_batch(mesh, batch), 0.01, 0.01, jax.random.key(2))
+        results[ndev] = (float(losses["total_loss"]),
+                         np.asarray(jax.tree.leaves(pp)[0]))
+    assert np.isclose(results[8][0], results[2][0], rtol=1e-5)
+    np.testing.assert_allclose(results[8][1], results[2][1],
+                               rtol=1e-5, atol=1e-6)
