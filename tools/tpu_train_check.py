@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "TRAIN_TPU_r02.json"))
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help=">1: lax.scan microbatch accumulation "
+                         "(train.grad_accum) — measures the overhead of "
+                         "the M x lower-activation-memory step")
     ap.add_argument("--master-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="bfloat16 = bf16 master weights + bf16 optimizer "
@@ -75,7 +79,8 @@ def main():
                               "past_reg": 1.0},
                     mixup=mixup, mixup_backbone=True,
                     compute_dtype="bfloat16",
-                    master_dtype=args.master_dtype)
+                    master_dtype=args.master_dtype,
+                    grad_accum=args.grad_accum)
 
     # a small pool of fixed synthetic batches: the model must be able to fit
     # them for the loss to fall — that is the training-correctness signal
@@ -135,6 +140,7 @@ def main():
         "loss_every_50": losses_trace,
         "loss_decreased": loss_last < loss_first,
         "master_dtype": args.master_dtype,
+        "grad_accum": args.grad_accum,
         "device": str(jax.devices()[0]),
     }
     assert result["loss_decreased"], \
