@@ -284,9 +284,24 @@ def test_multiprocess_distributed(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    res = subprocess.run(
-        [sys.executable, os.path.join(repo, "tools", "multihost_check.py")],
-        capture_output=True, text=True, timeout=560, env=env, cwd=repo)
+    # One retry, but only on coordination-service infrastructure failures:
+    # on this single-core image a rank starved by unrelated load can blow
+    # jax.distributed's heartbeat/barrier deadlines (seen: BarrierError
+    # 'Shutdown::' on the surviving rank). A numeric mismatch — the thing
+    # this test exists to catch — never produces those signatures and is
+    # never retried.
+    for attempt in (0, 1):
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "tools", "multihost_check.py")],
+            capture_output=True, text=True, timeout=560, env=env, cwd=repo)
+        if "multihost check ok" in res.stdout:
+            return
+        blob = res.stdout + res.stderr
+        transient = ("CoordinationService" in blob or "BarrierError" in blob
+                     or "DEADLINE_EXCEEDED" in blob)
+        if not (attempt == 0 and transient):
+            break
     assert "multihost check ok" in res.stdout, \
         f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
 

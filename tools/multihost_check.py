@@ -43,7 +43,8 @@ def worker(rank: int):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
-                               num_processes=2, process_id=rank)
+                               num_processes=2, process_id=rank,
+                               heartbeat_timeout_seconds=400)
     import numpy as np
     from afft_tpu.config import compose
     from afft_tpu.models import BaseModel
@@ -129,7 +130,8 @@ def flagship_worker(rank: int):
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=f"localhost:{PORT + 1}",
-                               num_processes=2, process_id=rank)
+                               num_processes=2, process_id=rank,
+                               heartbeat_timeout_seconds=400)
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
     from afft_tpu.data.epic import EPICKitchens
