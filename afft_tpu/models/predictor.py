@@ -56,6 +56,10 @@ class BaseFuturePredictor:
         # block stack through parallel/pipeline.py's GPipe schedule over
         # the mesh's "pipe" axis (see PipelineCtx)
         self.pipeline_ctx = None
+        # set by the trainer for sequence parallelism on a 2-D mesh: the
+        # residual stream is pinned T-sharded over the "model" axis at
+        # block boundaries (see parallel.sharding.SeqCtx)
+        self.seq_ctx = None
 
     def init(self, rng):
         std = 0.02
@@ -113,6 +117,19 @@ class BaseFuturePredictor:
         mask = L.neg_inf_causal_mask(T, embeds.dtype)
         x = embeds + jnp.take(params["wpe"], position_ids, axis=0)
         x = L.dropout(x, self.embd_pdrop, train, rng)
+        if self.seq_ctx is not None and not collect_attn:
+            # sequence parallelism: the fused single-device kernels and the
+            # pipeline schedule don't apply; the plain XLA block stack with
+            # T-sharded boundary constraints lets GSPMD insert the
+            # Megatron-SP all-gather/reduce-scatter pattern
+            assert self.pipeline_ctx is None, \
+                "seq_ctx and pipeline_ctx are mutually exclusive"
+            x = self.seq_ctx.constrain(x)
+            for p in params["blocks"]:
+                x, _ = self._block(p, x, mask, train=train, rng=rng,
+                                   collect_attn=False)
+                x = self.seq_ctx.constrain(x)
+            return L.layernorm_apply(params["ln_f"], x, 1e-5), None
         if self.pipeline_ctx is not None and not collect_attn:
             # GPipe over the mesh "pipe" axis (train.pipeline_stages):
             # the block stack becomes one scanned shard_map schedule;

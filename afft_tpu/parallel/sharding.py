@@ -117,6 +117,42 @@ def shard_opt_state(mesh: Mesh, opt_state, rules=TP_RULES,
     return jax.tree_util.tree_map_with_path(place, opt_state)
 
 
+class SeqCtx:
+    """Megatron-style sequence parallelism over the ``model`` mesh axis.
+
+    Injected into a model's deep block stacks (``predictor.seq_ctx``) the
+    same way as :class:`~afft_tpu.parallel.pipeline.PipelineCtx`. The
+    residual stream (B, T, C) is pinned T-sharded over the model axis at
+    block boundaries via ``with_sharding_constraint``; combined with the
+    TP_RULES weight shardings GSPMD derives the Megatron-SP collective
+    pattern (Korthikanti et al. 2022): all-gather over T entering each
+    column-parallel matmul, reduce-scatter leaving each row-parallel one —
+    so the LayerNorms, dropouts, and residual adds between them compute on
+    1/tp of the tokens and their activations occupy 1/tp of the HBM.
+
+    Beyond-reference capability (the reference's only strategy is DDP,
+    train.py:364-368); pays off at raw-video/long-context T where the
+    replicated residual stream dominates activation memory.
+    """
+
+    def __init__(self, mesh: Mesh, axis: str = "model"):
+        assert axis in mesh.axis_names, \
+            f"mesh {mesh.axis_names} has no '{axis}' axis"
+        self.mesh = mesh
+        self.axis = axis
+
+    def constrain(self, x):
+        """Pin a (..., T, C) activation T-sharded over the model axis.
+
+        Leading dims ride the data axis (batch); the T dim must divide
+        evenly over the axis — callers only enable SP when it does."""
+        spec = ["data"] + [None] * (x.ndim - 3) + [self.axis, None]
+        if x.shape[-2] % self.mesh.shape[self.axis] != 0:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(*spec)))
+
+
 def shard_params(mesh: Mesh, params, rules=TP_RULES):
     """Place params on the mesh per the rules (replicated by default).
 
