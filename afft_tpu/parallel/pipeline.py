@@ -31,7 +31,7 @@ reference train.py:364-368); beyond-reference capability.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +76,30 @@ def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
     assert B % M == 0, f"batch {B} must divide into {M} microbatches"
 
     micro = x.reshape(M, B // M, *x.shape[1:])
-    pspec = jax.tree.map(lambda _: P(axis), stacked_params)
+    treedef = jax.tree.structure(stacked_params)
+    run = _pipeline_schedule(block_fn, mesh, axis, S, M,
+                             block_takes_micro_index, treedef)
+    out = run(stacked_params, micro)
+    return out.reshape(B, *x.shape[1:])
+
+
+@lru_cache(maxsize=64)
+def _pipeline_schedule(block_fn, mesh, axis, S, M,
+                       block_takes_micro_index, treedef):
+    """Build (and cache) the jitted GPipe schedule for one static config.
+
+    A partially-manual shard_map (axis_names a strict subset of the mesh
+    axes) only lowers under jit — called eagerly it rejects out_specs over
+    the auto axes, and that includes 'eager' jax.grad / jax.vmap tracing
+    (tracer-typed args do NOT imply a surrounding jit). So the schedule is
+    ALWAYS wrapped in its own jit: under the trainer's jitted step the
+    nested jit is traced inline at compile time (no runtime cost); eager
+    callers (parity tests, notebooks) get a working compiled path. The
+    lru_cache keeps one jitted callable per static config so repeated
+    eager calls with a stable block_fn reuse jit's own trace cache instead
+    of recompiling per call."""
+    pspec = jax.tree_util.tree_unflatten(
+        treedef, [P(axis)] * treedef.num_leaves)
 
     # map over the pipe axis only: on a multi-axis mesh (e.g. data x pipe
     # inside the sharded train step) the other axes stay "auto", so the
@@ -125,14 +148,7 @@ def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
                         axis)
         return outs
 
-    # a partially-manual shard_map (axis_names ⊂ mesh axes) only lowers
-    # under jit: called eagerly it rejects out_specs over the auto axes.
-    # The trainer always calls from inside the jitted step; self-jit for
-    # eager callers (eval-forward parity tests, notebooks).
-    eager = not any(isinstance(leaf, jax.core.Tracer)
-                    for leaf in jax.tree.leaves((stacked_params, x)))
-    out = (jax.jit(run) if eager else run)(stacked_params, micro)
-    return out.reshape(B, *x.shape[1:])
+    return jax.jit(run)
 
 
 def make_mesh_pipe(stages: int, devices=None) -> Mesh:

@@ -135,20 +135,36 @@ class SeqCtx:
     replicated residual stream dominates activation memory.
     """
 
-    def __init__(self, mesh: Mesh, axis: str = "model"):
-        assert axis in mesh.axis_names, \
-            f"mesh {mesh.axis_names} has no '{axis}' axis"
+    def __init__(self, mesh: Mesh, axis: str = "model",
+                 data_axis: str = "data"):
+        for a in (axis, data_axis):
+            assert a in mesh.axis_names, \
+                f"mesh {mesh.axis_names} has no '{a}' axis (SeqCtx needs " \
+                f"both the sequence axis and the batch axis)"
         self.mesh = mesh
         self.axis = axis
+        self.data_axis = data_axis
+        self._warned = False
 
     def constrain(self, x):
         """Pin a (..., T, C) activation T-sharded over the model axis.
 
-        Leading dims ride the data axis (batch); the T dim must divide
-        evenly over the axis — callers only enable SP when it does."""
-        spec = ["data"] + [None] * (x.ndim - 3) + [self.axis, None]
-        if x.shape[-2] % self.mesh.shape[self.axis] != 0:
+        Leading dims ride the data axis (batch). If T does not divide
+        over the axis the constraint is skipped — SP silently off would
+        defeat the activation-memory savings the user enabled it for, so
+        the first skip warns (once; constrain runs at trace time)."""
+        sp_size = self.mesh.shape[self.axis]
+        if x.shape[-2] % sp_size != 0:
+            if not self._warned:
+                self._warned = True
+                import warnings
+                warnings.warn(
+                    f"sequence parallelism disabled for this stack: "
+                    f"T={x.shape[-2]} does not divide over "
+                    f"{self.axis}={sp_size}; activations stay replicated "
+                    f"over the model axis", stacklevel=2)
             return x
+        spec = [self.data_axis] + [None] * (x.ndim - 3) + [self.axis, None]
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P(*spec)))
 

@@ -234,9 +234,13 @@ class Runner:
         return jax.value_and_grad(loss_fn, has_aux=True)(wrt)
 
     def _accum_loss_grads(self, wrt, batch, rng_key, use_mixup):
-        """grad_accum>1: scan M microbatches, average grads in fp32,
-        combine scalar losses/metrics weighted by per-micro valid counts,
-        restitch metric payloads to full-batch shape."""
+        """grad_accum>1: scan M microbatches, combine grads AND scalar
+        losses/metrics in fp32 weighted by per-micro valid counts (each
+        microbatch loss is a mean over its own valid rows, so the full-
+        batch gradient is sum(n_i * g_i) / sum(n_i) — uniform 1/M would
+        overweight the sparsely-valid padded tail microbatch of an
+        epoch's final batch by ~M x), restitch metric payloads to
+        full-batch shape."""
         M = self.grad_accum
         B = batch["valid"].shape[0]
         assert B % M == 0, \
@@ -253,9 +257,12 @@ class Runner:
         def body(gsum, xs):
             mb, key = xs
             (t, (ls, ms)), g = self._loss_grads(wrt, mb, key, use_mixup)
-            gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
-                                gsum, g)
             n = mb["valid"].sum().astype(jnp.float32)
+            # n-weighted accumulation; an all-padding microbatch (n=0)
+            # contributes nothing (its grads are finite: every loss
+            # denominator is clamped, losses.py)
+            gsum = jax.tree.map(lambda a, b: a + n * b.astype(jnp.float32),
+                                gsum, g)
             return gsum, (t, ls, ms, n)
 
         g0 = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), wrt)
@@ -272,7 +279,8 @@ class Runner:
                               for kk, vv in v.items()}
             else:
                 metrics[k] = wmean(v)
-        grads = jax.tree.map(lambda g, p: (g / M).astype(p.dtype),
+        denom = jnp.maximum(ns.sum(), 1.0)
+        grads = jax.tree.map(lambda g, p: (g / denom).astype(p.dtype),
                              gsum, wrt)
         return (total, (losses, metrics)), grads
 
@@ -331,11 +339,9 @@ class Runner:
         opt_state = opt_out
         losses = dict(losses)
         losses["total_loss"] = total
-        valid = batch.get("valid")
-        if valid is None:
-            valid = jnp.ones((next(iter(batch["target"].values())).shape[0],),
-                             bool)
-        accum = self._accumulate(accum, losses, metrics, valid)
+        # batch["valid"] is synthesized unconditionally at the top of this
+        # function, so no None fallback is needed here
+        accum = self._accumulate(accum, losses, metrics, batch["valid"])
         return params, opt_state, losses, metrics, accum
 
     def _eval_step_impl(self, params, batch, accum):

@@ -352,10 +352,20 @@ def test_multiprocess_distributed(tmp_path):
     # this test exists to catch — never produces those signatures and is
     # never retried.
     for attempt in (0, 1):
-        res = subprocess.run(
-            [sys.executable,
-             os.path.join(repo, "tools", "multihost_check.py")],
-            capture_output=True, text=True, timeout=560, env=env, cwd=repo)
+        try:
+            res = subprocess.run(
+                [sys.executable,
+                 os.path.join(repo, "tools", "multihost_check.py")],
+                capture_output=True, text=True, timeout=560, env=env,
+                cwd=repo)
+        except subprocess.TimeoutExpired as e:
+            # a starved rank can HANG instead of erroring — same
+            # transient class as the barrier failures below
+            if attempt == 0:
+                continue
+            raise AssertionError(
+                f"multihost check timed out twice;\nstdout:\n{e.stdout}"
+                f"\nstderr:\n{e.stderr}") from None
         if "multihost check ok" in res.stdout:
             return
         blob = res.stdout + res.stderr
@@ -761,6 +771,44 @@ def test_grad_accum_matches_full_batch():
     for k, v in results[1][2].items():
         assert np.isclose(v, results[4][2][k], rtol=2e-5, atol=1e-5), \
             (k, v, results[4][2][k])
+
+
+def test_grad_accum_matches_full_batch_ragged_valid():
+    """The padded final batch of every epoch has a ragged valid mask
+    (loader pad_final). accum=M must still reproduce the accum=1 update:
+    every loss term is a valid-masked mean, so microbatch gradients
+    combine as sum(n_i * g_i) / sum(n_i) — uniform 1/M would overweight
+    the sparsely-valid tail microbatch ~M x (regression test for exactly
+    that bug)."""
+    cfg = tiny_cfg(extra=[
+        "model.dropout=0.0", "model.common.embd_pdrop=0.0",
+        "model.common.resid_pdrop=0.0", "model.common.attn_pdrop=0.0",
+        "model.fuser.embd_drop_rate=0.0", "model.fuser.drop_rate=0.0",
+        "model.fuser.attn_drop_rate=0.0",
+        "model.fuser.drop_path_rate=0.0"])
+    batch = make_batch(cfg)
+    batch["target_subclips"]["action"] = np.abs(
+        batch["target_subclips"]["action"])
+    # B=8 -> microbatches of 4: counts (4, 1)
+    batch["valid"] = np.array([1, 1, 1, 1, 1, 0, 0, 0], dtype=bool)
+
+    results = {}
+    for accum in (1, 2):
+        model, params, opt_state, runner = build_runner(
+            cfg, mixup=False, donate=False, grad_accum=accum)
+        mesh = make_mesh(jax.devices()[:1])
+        p = replicate_tree(mesh, params)
+        s = replicate_tree(mesh, opt_state)
+        db = shard_batch(mesh, batch)
+        p, s, losses, _, _ = runner.train_step(
+            p, s, db, 0.01, 0.01, jax.random.key(1), accum=None)
+        results[accum] = ({k: float(v) for k, v in losses.items()},
+                          np.asarray(jax.tree.leaves(p)[0]))
+    for k, v in results[1][0].items():
+        assert np.isclose(v, results[2][0][k], rtol=2e-5), \
+            (k, v, results[2][0][k])
+    np.testing.assert_allclose(results[1][1], results[2][1],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_grad_accum_with_mixup_dropout_runs():
