@@ -195,6 +195,9 @@ def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
         device_batch = shard_batch(mesh, {
             k: v for k, v in batch.items()
             if k in ("data_dict", "target", "target_subclips", "valid")})
+        if "mixup_lam" in batch:  # trajectory-parity hook (runner._forward)
+            device_batch["mixup_lam"] = jnp.asarray(
+                batch["mixup_lam"], jnp.float32)
 
         t_fw = time.perf_counter()
         if is_training:

@@ -192,14 +192,24 @@ class Runner:
 
         mixup_fn, ignore = None, None
         valid = batch.get("valid")
+        # parity-injection hook: batch["mixup_lam"] pins the Beta draw so a
+        # torch-reference trajectory can be replayed exactly
+        # (tools/export_train_trajectory.py / tests/test_trajectory.py)
+        lam = batch.get("mixup_lam")
         if use_mixup and self.mixup is not None and self.mixup_backbone:
             mix_key, rng_key = jax.random.split(rng_key)
-            mixup_fn = functools.partial(self.mixup, mix_key, valid=valid)
+            mixup_fn = functools.partial(self.mixup.mix, lam, valid=valid) \
+                if lam is not None \
+                else functools.partial(self.mixup, mix_key, valid=valid)
         elif use_mixup and self.mixup is not None:
             # input-level mixup (reference runner.py:246-253)
             mix_key, rng_key = jax.random.split(rng_key)
-            data, target, target_subclips, ignore = self.mixup(
-                mix_key, data, target, target_subclips, valid=valid)
+            if lam is not None:
+                data, target, target_subclips, ignore = self.mixup.mix(
+                    lam, data, target, target_subclips, valid=valid)
+            else:
+                data, target, target_subclips, ignore = self.mixup(
+                    mix_key, data, target, target_subclips, valid=valid)
 
         rng = L.RngStream(rng_key) if train else None
         outputs, outputs_target = self.model.apply(
@@ -370,7 +380,8 @@ class Runner:
     # ------------------------------------------------------------------
     @staticmethod
     def _device_batch(batch):
-        keep = {"data_dict", "target", "target_subclips", "valid"}
+        keep = {"data_dict", "target", "target_subclips", "valid",
+                "mixup_lam"}
         return {k: v for k, v in batch.items() if k in keep}
 
     def train_step(self, params, opt_state, batch, lr: float, base_lr: float,

@@ -363,9 +363,14 @@ def test_multiprocess_distributed(tmp_path):
             # transient class as the barrier failures below
             if attempt == 0:
                 continue
+            out = e.stdout or b""
+            err = e.stderr or b""
             raise AssertionError(
-                f"multihost check timed out twice;\nstdout:\n{e.stdout}"
-                f"\nstderr:\n{e.stderr}") from None
+                "multihost check timed out twice;\nstdout:\n"
+                f"{out.decode(errors='replace') if isinstance(out, bytes) else out}"
+                "\nstderr:\n"
+                f"{err.decode(errors='replace') if isinstance(err, bytes) else err}"
+            ) from None
         if "multihost check ok" in res.stdout:
             return
         blob = res.stdout + res.stderr

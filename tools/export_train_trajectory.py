@@ -1,0 +1,335 @@
+"""Export an end-to-end TRAIN-TRAJECTORY fixture from the torch reference.
+
+This drives the reference's REAL training composition — `run_one_epoch`
+(/root/reference/train.py:228-290), `Runner` (common/runner.py:171-270),
+`prepare_params` (train.py:189-225), SGD + Warmup(CosineLR) instantiation
+(train.py:336-362), `MixUp` (common/mixup.py:90-182) and `MetricTracker`
+(common/metric_tracking.py) — on synthetic batches for EPOCHS x ITERS
+iterations with every dropout at 0 and deterministic mixup draws, and
+records:
+
+  * the initial and final state dicts,
+  * every batch (features, targets, per-frame subclip labels with -1
+    ignores),
+  * the per-iteration lambda the mixup sampler actually drew (NaN when the
+    <=1-mixable-rows shortcut skipped sampling, mixup.py:155-157),
+  * per-iteration loss components + total and the per-group LR trace,
+  * per-epoch train/val metric-tracker values (acc1/acc5/mt5r/losses).
+
+tests/test_trajectory.py replays the identical batches through afft_tpu's
+own loop (afft_tpu/train/loop.py:run_one_epoch + train/runner.py) from the
+imported initial weights and asserts per-iteration and end-state agreement.
+This is the one test that exercises the whole train stack COMPOSED, not
+module-by-module.
+
+Usage: python tools/export_train_trajectory.py [outdir]
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import torch
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from export_fixtures import install_stubs  # noqa: E402
+
+REFERENCE = "/root/reference"
+OUTDIR = Path(sys.argv[1] if len(sys.argv) > 1 else "tests/fixtures")
+
+# trajectory shape
+B, T = 6, 6
+EPOCHS, ITERS, VAL_ITERS = 3, 10, 4
+MODS = ["rgb", "objects", "flow"]
+DIMS = {"rgb": 48, "objects": 20, "flow": 48}
+NUM_CLASSES = {"action": 17, "verb": 7, "noun": 9}
+LR, WD = 0.02, 1e-4
+FUSER_LR, FUSER_WD = 0.01, 0.0
+GRAD_CLIP = 1.0
+MIXUP_ALPHA = 0.1
+LABEL_SMOOTHING = {"action": 0.4, "verb": 0.01, "noun": 0.03}
+LOSS_WTS = {"cls_action": 1.0, "cls_verb": 1.0, "cls_noun": 1.0,
+            "past_cls_action": 1.0, "past_cls_verb": 1.0,
+            "past_cls_noun": 1.0, "past_reg": 1.0}
+
+
+def model_cfg(DictConfig):
+    """Small CMFPEarly stack, every dropout 0 (determinism)."""
+    return DictConfig({
+        "modal_dims": DictConfig(dict(DIMS)),
+        "modal_feature_order": ["rgb", "objects", "audio", "poses", "flow"],
+        "dropout": 0.0,
+        "common": DictConfig({
+            "in_features": 48, "fp_inter_dim": 64, "fp_output_len": 1,
+            "share_classifiers": True, "share_predictors": True,
+            "modality_cls": False, "fusion_cls": True,
+            "backbones": DictConfig({
+                m: {"_target_": "torch.nn.Identity"} for m in MODS}),
+        }),
+        "mapping": {"_target_": "models.feature_mapping.Linear",
+                    "use_layernorm": False, "sparse_mapping": True},
+        "fuser": {"_target_": "models.fusion.ModalTokenCMFuser", "dim": 48,
+                  "depth": 2, "num_heads": 4, "drop_rate": 0.0,
+                  "attn_drop_rate": 0.0, "drop_path_rate": 0.0,
+                  "modalities": dict(DIMS)},
+        "future_predictor": {
+            "_target_": "models.future_prediction.BaseFuturePredictor",
+            "in_features": 48, "inter_dim": 64, "n_layer": 2, "n_head": 2,
+            "embd_pdrop": 0.0, "resid_pdrop": 0.0, "attn_pdrop": 0.0,
+            "output_attentions": False},
+        "CMFP": {"_target_": "models.future_prediction.CMFPEarly",
+                 "model_cfg": None},
+    })
+
+
+def make_batches(n, seed, tag):
+    """Synthetic batches in the collated BaseVideoDataset output layout the
+    reference Runner consumes (common/runner.py:226-236): 6D features, target
+    dict, (B,T,1) subclip labels with -1 ignores shared across targets."""
+    g = torch.Generator().manual_seed(seed)
+    batches = []
+    for i in range(n):
+        data_dict = {m: torch.randn(B, T, DIMS[m], 1, 1, 1, generator=g)
+                     for m in MODS}
+        target = {t: torch.randint(0, c, (B,), generator=g)
+                  for t, c in NUM_CLASSES.items()}
+        sub = {t: torch.randint(0, c, (B, T, 1), generator=g)
+               for t, c in NUM_CLASSES.items()}
+        # ignore (-1) pattern shared across targets, like real vidseg labels
+        # (frames before any segment are -1 for every target)
+        if tag == "train" and i % 10 == 5:
+            # exercise the <=1-mixable-rows shortcut (mixup.py:155-157)
+            ign = torch.ones(B, T, 1, dtype=torch.bool)
+            ign[0] = False
+        else:
+            ign = torch.rand(B, T, 1, generator=g) < 0.15
+        for t in sub:
+            sub[t] = torch.where(ign, torch.tensor(-1), sub[t])
+        batches.append({"data_dict": data_dict, "target": target,
+                        "target_subclips": sub})
+    return batches
+
+
+class ListLoader(list):
+    batch_size = B
+
+    def __iter__(self):
+        # reference run_one_epoch unpacks (data, timings) per item
+        return iter([(b, {}) for b in list.__iter__(self)])
+
+
+class RecordingRunner:
+    """Transparent proxy over the real reference Runner that logs each
+    iteration's loss scalars and live per-group LRs."""
+
+    def __init__(self, inner, optimizer, lr_names):
+        self.inner = inner
+        self.optimizer = optimizer
+        self.lr_names = lr_names
+        self.records = []
+        self.lrs = {n: [] for n in lr_names}
+
+    def __call__(self, data, mixup_fn=None, mixup_backbone=True):
+        if torch.is_grad_enabled():  # train iterations only
+            by_name = {g["name"]: g["lr"] for g in self.optimizer.param_groups}
+            for probe, match in self.lr_names.items():
+                self.lrs[probe].append(
+                    next(v for n, v in by_name.items() if n.startswith(match)))
+        loss, metrics = self.inner(data, mixup_fn, mixup_backbone)
+        if torch.is_grad_enabled():
+            self.records.append({k: float(v) for k, v in metrics.items()
+                                 if isinstance(v, (int, float))})
+        return loss, metrics
+
+
+def install_train_stubs():
+    """Extra module-scope deps of /root/reference/train.py beyond what
+    export_fixtures.install_stubs covers (train.py:10-15)."""
+    import types
+    import importlib.machinery
+    import hydra
+
+    for name in ("torchvision", "torchvision.io"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+
+    # @hydra.main decorator (train.py:293) — pass-through, never invoked here
+    hydra.main = lambda **kw: (lambda fn: fn)
+
+
+def main():
+    install_stubs()
+    install_train_stubs()
+    sys.path.insert(0, REFERENCE)
+    torch.manual_seed(0)
+
+    from omegaconf import DictConfig
+    from models.base_model import BaseModel
+    from common.runner import Runner
+    from common.metric_tracking import MetricTracker
+    from common import mixup as ref_mixup
+    from common import scheduler as ref_sched
+    import train as ref_train
+
+    torch.manual_seed(123)
+    model = BaseModel(model_cfg(DictConfig), num_classes=NUM_CLASSES,
+                      class_mappings={})
+    sd0 = {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+    # the reference's real param-group construction (train.py:336-338,352)
+    lr_wd = [["future_predictor.fuser", FUSER_LR, FUSER_WD]]
+    param_groups = ref_train.prepare_params(model, lr_wd, LR, WD)
+    optimizer = torch.optim.SGD(param_groups, lr=LR, momentum=0.9,
+                                nesterov=False, weight_decay=WD)
+    main_sched = ref_sched.CosineLR(optimizer, num_epochs=EPOCHS,
+                                    eta_min=1e-6, iters_per_epoch=ITERS,
+                                    world_size=1)
+    lr_scheduler = ref_sched.Warmup(optimizer, main_sched, init_lr_ratio=0.01,
+                                    num_epochs=1, iters_per_epoch=ITERS,
+                                    world_size=1)
+
+    mixup_fn = ref_mixup.MixUp(alpha=MIXUP_ALPHA,
+                               label_smoothing=dict(LABEL_SMOOTHING),
+                               num_classes=NUM_CLASSES)
+    # deterministic mixup draws: pre-drawn Beta stream, popped per actual
+    # sample() call so shortcut iterations (no draw) don't shift the stream
+    lam_stream = torch.distributions.beta.Beta(
+        MIXUP_ALPHA, MIXUP_ALPHA).sample((EPOCHS * ITERS + 8,))
+    torch.manual_seed(7)  # independent of the stream above
+    state = {"next": 0, "last": None}
+
+    class Sampler:
+        @staticmethod
+        def sample():
+            lam = lam_stream[state["next"]]
+            state["next"] += 1
+            state["last"] = float(lam)
+            return lam
+
+    mixup_fn.mixup_beta_sampler = Sampler()
+
+    train_batches = make_batches(EPOCHS * ITERS, seed=1000, tag="train")
+    val_batches = make_batches(VAL_ITERS, seed=2000, tag="val")
+
+    # debugging probes: post-step param snapshots for the first steps and
+    # the pre-clip global grad norm per iteration (clip_grad_norm_ returns
+    # it), so a trajectory mismatch localizes to forward vs update
+    snapshots = {}
+    grad_norms = []
+    _orig_step = optimizer.step
+
+    def step_and_snapshot(*a, **kw):
+        out = _orig_step(*a, **kw)
+        i = len(grad_norms) - 1
+        if i < 3:
+            snapshots[i] = {k: v.detach().clone()
+                            for k, v in model.state_dict().items()}
+        return out
+
+    optimizer.step = step_and_snapshot
+    _orig_clip = torch.nn.utils.clip_grad_norm_
+
+    def clip_and_record(*a, **kw):
+        norm = _orig_clip(*a, **kw)
+        grad_norms.append(float(norm))
+        return norm
+
+    torch.nn.utils.clip_grad_norm_ = clip_and_record
+
+    runner = RecordingRunner(
+        Runner(model, "cpu", loss_wts=dict(LOSS_WTS)), optimizer,
+        {"fuser": "future_predictor.fuser.", "rest": "future_predictor.dim_encoder."})
+    tracker = MetricTracker(NUM_CLASSES)
+
+    lam_used, epoch_metrics = [], []
+    for epoch in range(EPOCHS):
+        tracker.reset()
+        model.train()
+        loader = ListLoader(train_batches[epoch * ITERS:(epoch + 1) * ITERS])
+
+        # wrap to log which lambda each iteration consumed
+        n_before = len(lam_used)
+
+        class LamProbe:
+            def __call__(self, *a, **kw):
+                state["last"] = None
+                out = mixup_fn(*a, **kw)
+                lam_used.append(np.nan if state["last"] is None
+                                else state["last"])
+                return out
+
+            mixup_beta_sampler = mixup_fn.mixup_beta_sampler
+
+        ref_train.run_one_epoch(runner, optimizer, lr_scheduler, loader,
+                                tracker, is_training=True,
+                                grad_clip=GRAD_CLIP, mixup_fn=LamProbe(),
+                                mixup_backbone=True)
+        assert len(lam_used) - n_before == ITERS, \
+            f"expected one mixup call per iteration, got {len(lam_used)-n_before}"
+
+        model.eval()
+        with torch.no_grad():
+            ref_train.run_one_epoch(runner, optimizer, lr_scheduler,
+                                    ListLoader(val_batches), tracker,
+                                    is_training=False)
+        ep = {}
+        for split, metrics in (("train", tracker.training_metrics),
+                               ("val", tracker.validation_metrics)):
+            for name, meter in metrics.items():
+                if "T " in name:
+                    continue
+                v = meter.value
+                if v is not None:
+                    ep[name] = float(v)
+        epoch_metrics.append(ep)
+        print(f"epoch {epoch}: train loss "
+              f"{ep.get('train_total_loss'):.4f} val loss "
+              f"{ep.get('val_total_loss'):.4f} val mt5r "
+              f"{ep.get('val_mt5r_action_all-fused')}")
+
+    payload = {}
+    for k, v in sd0.items():
+        payload[f"sd0::{k}"] = v.numpy()
+    for k, v in model.state_dict().items():
+        payload[f"sdF::{k}"] = v.detach().numpy()
+    for i, b in enumerate(train_batches):
+        for m, x in b["data_dict"].items():
+            payload[f"batch{i}::data::{m}"] = x.numpy()
+        for t, x in b["target"].items():
+            payload[f"batch{i}::target::{t}"] = x.numpy()
+        for t, x in b["target_subclips"].items():
+            payload[f"batch{i}::sub::{t}"] = x.numpy()
+    for i, b in enumerate(val_batches):
+        for m, x in b["data_dict"].items():
+            payload[f"val{i}::data::{m}"] = x.numpy()
+        for t, x in b["target"].items():
+            payload[f"val{i}::target::{t}"] = x.numpy()
+        for t, x in b["target_subclips"].items():
+            payload[f"val{i}::sub::{t}"] = x.numpy()
+
+    payload["lam"] = np.asarray(lam_used, np.float64)
+    payload["grad_norms"] = np.asarray(grad_norms, np.float64)
+    for i, snap in snapshots.items():
+        for k, v in snap.items():
+            payload[f"step{i}::{k}"] = v.numpy()
+    loss_keys = sorted(runner.records[0])
+    for key in loss_keys:
+        payload[f"iter::{key}"] = np.asarray(
+            [r.get(key, np.nan) for r in runner.records], np.float64)
+    payload["lr::fuser"] = np.asarray(runner.lrs["fuser"], np.float64)
+    payload["lr::rest"] = np.asarray(runner.lrs["rest"], np.float64)
+    for e, ep in enumerate(epoch_metrics):
+        for name, v in ep.items():
+            payload[f"ep{e}::{name}"] = np.float64(v)
+    payload["meta"] = np.asarray([B, T, EPOCHS, ITERS, VAL_ITERS])
+
+    OUTDIR.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(OUTDIR / "train_trajectory.npz", **payload)
+    print(f"saved train_trajectory.npz: {len(payload)} arrays, "
+          f"{(OUTDIR / 'train_trajectory.npz').stat().st_size/1e6:.2f} MB")
+
+
+if __name__ == "__main__":
+    main()
