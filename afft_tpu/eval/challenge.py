@@ -79,7 +79,15 @@ def epic100_unseen_tail_eval(probs, dataset):
     if rdir is None:
         # optional kwarg (epic.py): without the RULSTM annotation dir the
         # breakdown csvs don't exist — nan metrics, not a crash after the
-        # full forward pass has already run
+        # full forward pass has already run. The reference aborts here
+        # (challenge.py:109-158); a real EK100 val eval should never take
+        # this branch, so name the missing kwarg loudly.
+        logging.warning(
+            "epic100_unseen_tail_eval: dataset has no "
+            "rulstm_annotation_dir (config key "
+            "dataset.epic_kitchens100.common.rulstm_annot_dir) — "
+            "unseen/tail MT5R breakdowns will be NaN. Set the kwarg to "
+            "the RULSTM annotation dir for a full EK100 evaluation.")
         return {k: float("nan") for k in
                 ("vmt5r_tail", "nmt5r_tail", "amt5r_tail",
                  "vmt5r_unseen", "nmt5r_unseen", "amt5r_unseen")}

@@ -133,6 +133,18 @@ def main(cfg: Config):
     transform_val = get_transforms(cfg, train=False)
     dataset_test = get_dataset(cfg[DATASET_EVAL_CFG_KEY], cfg.data_eval,
                                transform_val, log)
+    # config validation: an EK100 val eval without the RULSTM annotation
+    # dir silently degrades the unseen/tail breakdowns to NaN
+    # (challenge.epic100_unseen_tail_eval); name the kwarg up front
+    from ..data.epic import EPIC100_VERSION
+    if (getattr(dataset_test, "version", None) == EPIC100_VERSION
+            and getattr(dataset_test, "rulstm_annotation_dir", None) is None
+            and "action_class" in getattr(dataset_test, "df",
+                                          {"columns": ()}).columns):
+        log.warning(
+            "EK100 val eval without rulstm_annotation_dir (config key "
+            "dataset.epic_kitchens100.common.rulstm_annot_dir): "
+            "unseen/tail MT5R breakdowns will be NaN")
     eval_batch = (cfg.eval.batch_size or cfg.train.batch_size * 4) * \
         jax.local_device_count()
     # multi-process eval shards the val set per process (strided, wrap-padded

@@ -31,7 +31,7 @@ reference train.py:364-368); beyond-reference capability.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -83,10 +83,9 @@ def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
     return out.reshape(B, *x.shape[1:])
 
 
-@lru_cache(maxsize=64)
 def _pipeline_schedule(block_fn, mesh, axis, S, M,
                        block_takes_micro_index, treedef):
-    """Build (and cache) the jitted GPipe schedule for one static config.
+    """Build the jitted GPipe schedule for one static config.
 
     A partially-manual shard_map (axis_names a strict subset of the mesh
     axes) only lowers under jit — called eagerly it rejects out_specs over
@@ -94,10 +93,15 @@ def _pipeline_schedule(block_fn, mesh, axis, S, M,
     (tracer-typed args do NOT imply a surrounding jit). So the schedule is
     ALWAYS wrapped in its own jit: under the trainer's jitted step the
     nested jit is traced inline at compile time (no runtime cost); eager
-    callers (parity tests, notebooks) get a working compiled path. The
-    lru_cache keeps one jitted callable per static config so repeated
-    eager calls with a stable block_fn reuse jit's own trace cache instead
-    of recompiling per call."""
+    callers (parity tests, notebooks) get a working compiled path.
+
+    Deliberately NOT cached: callers (predictor._forward_pipelined) build
+    ``block_fn`` as a fresh closure per forward — the closure captures the
+    model and the attention mask, which can be a live tracer under an
+    outer trace, so any identity-keyed cache both never hits and retains
+    tracers (JAX_CHECK_TRACER_LEAKS errors). Eager callers therefore
+    recompile per call; the only perf-relevant caller is the jitted train
+    step, where jit's own trace cache already amortizes this."""
     pspec = jax.tree_util.tree_unflatten(
         treedef, [P(axis)] * treedef.num_leaves)
 

@@ -250,7 +250,19 @@ class Runner:
         batch gradient is sum(n_i * g_i) / sum(n_i) — uniform 1/M would
         overweight the sparsely-valid padded tail microbatch of an
         epoch's final batch by ~M x), restitch metric payloads to
-        full-batch shape."""
+        full-batch shape.
+
+        Exactness caveat: the n_i weighting reproduces the full-batch
+        update exactly only for loss terms whose denominator IS the valid
+        count. The class-weighted future-CE (losses.py class_weights path)
+        normalizes by the per-microbatch class-weight sum W_i instead, so
+        with ``class_weights`` set, grad_accum approximates the full-batch
+        update (error ~ the spread of mean class weight across
+        microbatches — small under shuffled sampling). Exact combination
+        would need a per-TERM denominator decomposition of the gradient;
+        not worth it for a class-balancing heuristic that is itself
+        beyond-reference. Regression-tested in
+        test_integration.test_grad_accum_with_class_weights_close."""
         M = self.grad_accum
         B = batch["valid"].shape[0]
         assert B % M == 0, \

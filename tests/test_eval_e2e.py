@@ -183,3 +183,24 @@ def test_unseen_tail_empty_subset_yields_nan(setup, tmp_path, monkeypatch):
              for c in ("verb_class", "noun_class", "action_class")]
     out = epic100_unseen_tail_eval(probs, ds)
     assert all(np.isnan(v) for v in out.values())
+
+
+def test_unseen_tail_missing_rulstm_dir_warns(setup, monkeypatch, caplog):
+    """No rulstm_annotation_dir: NaN breakdowns AND a WARNING naming the
+    config kwarg, so a misconfigured real EK100 eval fails loudly in the
+    log instead of silently degrading (the reference aborts here,
+    challenge.py:109-158)."""
+    import logging
+    from afft_tpu.eval.challenge import epic100_unseen_tail_eval
+    ds, *_ = setup
+    monkeypatch.setattr(ds, "rulstm_annotation_dir", None)
+    rng = np.random.default_rng(0)
+    n = len(ds)
+    probs = [rng.random((n, int(ds.df[c].max()) + 1))
+             for c in ("verb_class", "noun_class", "action_class")]
+    with caplog.at_level(logging.WARNING):
+        out = epic100_unseen_tail_eval(probs, ds)
+    assert all(np.isnan(v) for v in out.values())
+    warned = [r for r in caplog.records if r.levelno >= logging.WARNING
+              and "rulstm_annot_dir" in r.getMessage()]
+    assert warned, "expected a WARNING naming the rulstm_annot_dir kwarg"

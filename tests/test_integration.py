@@ -887,3 +887,48 @@ def test_resume_across_mesh_sizes(tmp_path):
     assert np.isclose(results[8][0], results[2][0], rtol=1e-5)
     np.testing.assert_allclose(results[8][1], results[2][1],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_with_class_weights_close():
+    """class_weights + grad_accum: the class-weighted future-CE normalizes
+    by the per-microbatch class-weight sum W_i, not the valid count n_i,
+    so the n_i-weighted combine is documented as APPROXIMATE
+    (runner._accum_loss_grads docstring). This pins the approximation:
+    all non-class-weighted loss terms still combine exactly, the weighted
+    cls term stays within the W_i-spread bound, and the update stays
+    finite and close."""
+    cfg = tiny_cfg(extra=[
+        "model.dropout=0.0", "model.common.embd_pdrop=0.0",
+        "model.common.resid_pdrop=0.0", "model.common.attn_pdrop=0.0",
+        "model.fuser.embd_drop_rate=0.0", "model.fuser.drop_rate=0.0",
+        "model.fuser.attn_drop_rate=0.0",
+        "model.fuser.drop_path_rate=0.0"])
+    batch = make_batch(cfg)
+    batch["target_subclips"]["action"] = np.abs(
+        batch["target_subclips"]["action"])
+    rng = np.random.default_rng(3)
+    cw = {"action": rng.uniform(0.5, 2.0, size=13).astype(np.float32)}
+
+    results = {}
+    for accum in (1, 4):
+        model, params, opt_state, runner = build_runner(
+            cfg, mixup=False, donate=False, grad_accum=accum,
+            class_weights=cw)
+        mesh = make_mesh(jax.devices()[:1])
+        p = replicate_tree(mesh, params)
+        s = replicate_tree(mesh, opt_state)
+        db = shard_batch(mesh, batch)
+        p, s, losses, _, _ = runner.train_step(
+            p, s, db, 0.01, 0.01, jax.random.key(1), accum=None)
+        results[accum] = ({k: float(v) for k, v in losses.items()},
+                          np.asarray(jax.tree.leaves(p)[0]))
+    l1, l4 = results[1][0], results[4][0]
+    # unweighted terms (plain valid-count denominators): exact
+    for k in ("past_cls_action_all-fused", "past_reg_all-fused"):
+        assert np.isclose(l1[k], l4[k], rtol=2e-5), (k, l1[k], l4[k])
+    # weighted cls term: within the documented W_i-spread bound, not exact
+    assert np.isclose(l1["cls_action_all-fused"],
+                      l4["cls_action_all-fused"], rtol=0.2)
+    assert np.isfinite(l4["total_loss"])
+    np.testing.assert_allclose(results[1][1], results[4][1],
+                               rtol=0.05, atol=1e-3)

@@ -78,8 +78,11 @@ def main():
                             payload[f"{headk}/{name}/{k2}"] = np.asarray(v2)
                 elif val is not None:
                     payload[f"{headk}/{name}"] = np.asarray(val)
+        # unicode (not object) dtype: dumps stay loadable with
+        # allow_pickle=False
         np.savez_compressed(os.path.join(out_dir, f"batch_{bi:04d}.npz"),
-                            uids=batch["uid"], **payload)
+                            uids=np.asarray(batch["uid"], dtype=str),
+                            **payload)
         ma = payload.get("all-fused/modality_attns")
         if ma is not None and ma.ndim == 6:  # (B, depth, T, H, n+1, n+1)
             token_row = ma[:, -1].mean(axis=(1, 2))[:, 0, 1:]  # (B, n)
