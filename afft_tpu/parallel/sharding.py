@@ -54,6 +54,19 @@ def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
+def make_mesh_3d(dp: int, tp: int, pp: int, devices=None) -> Mesh:
+    """(data, pipe, model) mesh: DP replicas x GPipe stages x tensor
+    parallelism. The model axis is innermost so the per-matmul TP
+    collectives (the most bandwidth-hungry) ride neighbouring ICI links;
+    pipe hops (one ppermute per microbatch tick) ride the next ring out;
+    the DP gradient all-reduce (once per step) crosses the outer axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = dp * tp * pp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(dp, pp, tp)
+    return Mesh(arr, ("data", "pipe", "model"))
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:
