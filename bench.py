@@ -84,19 +84,14 @@ def _build_bench_dataset(n_videos=6, clips_per_video=300):
     open(os.path.join(annot_dir, "done"), "w").write("ok")
 
 
-def bench_end_to_end(n_epochs=3):
-    """Full pipeline: annotations -> clip plan -> threaded loader (bf16
-    packed gathers) -> host->device staging -> jitted forward."""
-    import jax
-    import jax.numpy as jnp
-    from afft_tpu.config import compose
+def _flagship_eval_dataset():
+    """The EK100-shaped bench dataset as a FeatureClipDataset (built once,
+    cached in .bench_data)."""
     from afft_tpu.data.epic import EPICKitchens
-
-    from afft_tpu.models import BaseModel
 
     _build_bench_dataset()
     annot = os.path.join(BENCH_DATA, "annotations")
-    ds = EPICKitchens(
+    return EPICKitchens(
         annotation_path=[os.path.join(annot, "validation.csv")],
         annotation_dir=annot, rulstm_annotation_dir=annot,
         action_labels_fpath=os.path.join(annot, "actions.csv"),
@@ -111,6 +106,13 @@ def bench_end_to_end(n_epochs=3):
             for m in MODAL_DIMS},
         frames_per_clip=T, frame_rate=1, load_seg_labels=False)
 
+
+def _flagship_model_bf16():
+    import jax
+    import jax.numpy as jnp
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+
     cfg = compose("afft_tpu/conf", [
         "model.modal_dims={rgb:1024, objects:352, audio:1024, flow:1024}",
         "model.common_dim=1024",
@@ -120,6 +122,16 @@ def bench_end_to_end(n_epochs=3):
     model = BaseModel(cfg.model, num_classes={"action": N_CLASSES})
     params = model.init(jax.random.key(0))
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    return model, params
+
+
+def bench_end_to_end(n_epochs=3):
+    """Full pipeline: annotations -> clip plan -> threaded loader (bf16
+    packed gathers) -> host->device staging -> jitted forward."""
+    import jax
+
+    ds = _flagship_eval_dataset()
+    model, params = _flagship_model_bf16()
 
     # serving architecture: features live in HBM (DeviceFeatureCache);
     # per-batch host traffic is an int32 index array, and the gather is
@@ -167,6 +179,62 @@ def bench_end_to_end(n_epochs=3):
         n = run_window(4)
         best = max(best, n / (time.perf_counter() - t0))
     return best
+
+
+def bench_cold_path(n_windows=3, passes_per_window=2):
+    """COLD serving path (VERDICT r3 #3): annotations -> BatchLoader
+    (threaded bf16 packed-store gathers, the DataLoader-worker hot loop of
+    /root/reference/datasets/base_video_dataset.py:460-484) -> per-batch
+    host->device staging -> jitted forward, forced readback per window.
+
+    Unlike bench_end_to_end, NOTHING is pre-staged in HBM: every batch's
+    feature bytes travel host memmap -> collate -> device each step, so
+    this number cannot be mistaken for the warm-HBM-cache figure. Returns
+    (clips/s, loader-only clips/s) — the loader-only rate itemizes how
+    much of any gap is host-side batch production vs staging+dispatch."""
+    import jax.numpy as jnp
+
+    ds = _flagship_eval_dataset()
+    model, params = _flagship_model_bf16()
+    import jax
+
+    @jax.jit
+    def fwd(p, feats):
+        outputs, _ = model.apply(p, feats, train=False)
+        return outputs["logits/action"]["all-fused"][:, 0, :]
+
+    from afft_tpu.data.loader import BatchLoader
+    from afft_tpu.utils.sync import force_device_sync
+
+    loader = BatchLoader(ds, batch_size=BATCH, shuffle=False,
+                         num_workers=8, prefetch=4, pad_final=True)
+
+    def run_window(n_passes, timed_warm=False):
+        n, out = 0, None
+        for _ in range(n_passes):
+            for batch in loader:
+                feats = {m: jnp.asarray(v)
+                         for m, v in batch["data_dict"].items()}
+                out = fwd(params, feats)
+                n += int(batch["valid"].sum())
+        force_device_sync(out)
+        return n
+
+    run_window(1)  # compile + memmap page-cache warmup
+    best = 0.0
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        n = run_window(passes_per_window)
+        best = max(best, n / (time.perf_counter() - t0))
+
+    # itemization leg: loader-only (no staging, no forward)
+    loader_best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = sum(int(b["valid"].sum()) for _ in range(passes_per_window)
+                for b in loader)
+        loader_best = max(loader_best, n / (time.perf_counter() - t0))
+    return best, loader_best
 
 
 def bench_afft(n_warmup=3, n_iters=20):
@@ -279,7 +347,12 @@ def bench_egtea(n_warmup=3, n_iters=20, batch=256):
 
 def bench_train(batch=64, steps=30):
     """Flagship mixed-precision train step (fused Pallas train kernels),
-    synthetic EK100-shaped batches; returns ms/step."""
+    synthetic EK100-shaped batches; returns ms/step.
+
+    The driver-recorded train metric reports BOTH B=64 (the reference's
+    per-GPU batch, expts/02) and the B=256 amortized operating point
+    (TRAIN_SCALE_r03: larger batches amortize the fixed fp32-master
+    optimizer HBM floor over 4x the clips)."""
     import jax
     import jax.numpy as jnp
     from afft_tpu.config import compose
@@ -443,9 +516,11 @@ def main():
     assert implied < V5E_BF16_PEAK, \
         f"implausible throughput {value:.0f} clips/s -> {implied / 1e12:.0f} " \
         f"TFLOPS sustained > {V5E_BF16_PEAK / 1e12:.0f} peak; sync is broken"
+    cold, cold_loader = bench_cold_path()
     baseline = get_torch_baseline()
     egtea = bench_egtea()
     train_ms = bench_train()
+    train_ms_256 = bench_train(batch=256)
     print(json.dumps({
         "metric": "EK100 val clips/sec/chip",
         "value": round(value, 2),
@@ -453,9 +528,15 @@ def main():
         "vs_baseline": round(value / baseline, 2),
         "ms_per_batch": round(BATCH / value * 1000, 2),
         "mfu": round(value * FLOPS_PER_CLIP / V5E_BF16_PEAK, 3),
+        # cold path: annotations -> BatchLoader -> staging -> forward
+        # (no HBM pre-staging); loader-only itemizes host batch production
+        "cold_clips_per_sec": round(cold, 2),
+        "cold_loader_clips_per_sec": round(cold_loader, 2),
         "egtea_clips_per_sec": round(egtea, 2),
         "train_ms_per_step": round(train_ms, 2),
         "train_batch": 64,
+        "train_ms_per_step_b256": round(train_ms_256, 2),
+        "train_clips_per_sec_b256": round(256e3 / train_ms_256, 2),
     }))
 
 

@@ -168,42 +168,95 @@ void* afft_lmdb_open(const char* path) {
     return nullptr;
   };
 
-  // meta candidate on page 0 carries the page size; validate both metas
-  const Meta* m0 = reinterpret_cast<const Meta*>(env->map + kPageHdrSize);
-  if (m0->magic == kMagicSwapped) {
-    set_err("%s: byte-swapped LMDB magic — file was written on a "
-            "big-endian host; this reader only parses little-endian "
-            "environments", fname.c_str());
+  // Meta selection with torn-write recovery. liblmdb alternates the two
+  // meta pages by txn parity, so a crash mid-commit can tear EITHER one
+  // (including page 0). Each candidate is validated in full — magic,
+  // version, plausible recorded page size, root within the file — and the
+  // live meta is the highest-txnid candidate that passes; a single torn
+  // meta therefore rolls back to the previous committed state instead of
+  // failing the open (what a liblmdb reopen after the same crash does).
+  auto meta_check = [&](size_t off, size_t want_psize, const Meta** out,
+                        char* why, size_t whysz) -> bool {
+    *out = nullptr;
+    if (off + kPageHdrSize + sizeof(Meta) > (size_t)st.st_size) {
+      snprintf(why, whysz, "meta page at offset %zu beyond end of file", off);
+      return false;
+    }
+    const Meta* m = reinterpret_cast<const Meta*>(env->map + off +
+                                                  kPageHdrSize);
+    if (m->magic == kMagicSwapped) {
+      snprintf(why, whysz,
+               "byte-swapped LMDB magic — file was written on a big-endian "
+               "host; this reader only parses little-endian environments");
+      return false;
+    }
+    if (m->magic != kMagic) {
+      snprintf(why, whysz,
+               "bad LMDB magic 0x%08X (expected 0x%08X); not an LMDB data "
+               "file or corrupt", m->magic, kMagic);
+      return false;
+    }
+    if (m->version != kDataVersion) {
+      snprintf(why, whysz,
+               "LMDB data-format version %u; this reader implements version "
+               "%u (liblmdb 0.9.x). Refusing to guess at layout differences.",
+               m->version, kDataVersion);
+      return false;
+    }
+    size_t ps = m->dbs[0].pad;
+    if (ps < 512 || ps > (1u << 16) || (ps & (ps - 1)) != 0) {
+      snprintf(why, whysz,
+               "implausible page size %zu in meta (expect power of two in "
+               "[512, 65536]); corrupt meta page", ps);
+      return false;
+    }
+    if (want_psize && ps != want_psize) {
+      snprintf(why, whysz, "meta records page size %zu, expected %zu", ps,
+               want_psize);
+      return false;
+    }
+    uint64_t root = m->dbs[1].root;
+    if (root != ~0ull && (root + 1) * ps > (size_t)st.st_size) {
+      snprintf(why, whysz,
+               "main DB root page %llu beyond end of file (torn meta write)",
+               (unsigned long long)root);
+      return false;
+    }
+    *out = m;
+    return true;
+  };
+
+  char why0[256], why1[256];
+  const Meta* m0 = nullptr;
+  const Meta* m1 = nullptr;
+  bool ok0 = meta_check(0, 0, &m0, why0, sizeof(why0));
+  bool ok1 = false;
+  if (ok0) {
+    ok1 = meta_check(m0->dbs[0].pad, m0->dbs[0].pad, &m1, why1, sizeof(why1));
+  } else {
+    // meta 0 is the torn one: its recorded page size is untrustworthy, so
+    // probe every legal page size for a meta 1 that records that same size
+    snprintf(why1, sizeof(why1), "meta page 1 not found (meta 0 torn)");
+    for (size_t ps = 512; ps <= (1u << 16); ps <<= 1) {
+      if (meta_check(ps, ps, &m1, why1, sizeof(why1))) {
+        ok1 = true;
+        break;
+      }
+    }
+  }
+  if (!ok0 && !ok1) {
+    set_err("%s: no valid meta page: meta 0: %s / meta 1: %s", fname.c_str(),
+            why0, why1);
     return fail();
   }
-  if (m0->magic != kMagic) {
-    set_err("%s: bad LMDB magic 0x%08X on meta page 0 (expected 0x%08X); "
-            "not an LMDB data file or corrupt", fname.c_str(), m0->magic,
-            kMagic);
-    return fail();
-  }
-  if (m0->version != kDataVersion) {
-    set_err("%s: LMDB data-format version %u; this reader implements "
-            "version %u (liblmdb 0.9.x). Refusing to guess at layout "
-            "differences.", fname.c_str(), m0->version, kDataVersion);
-    return fail();
-  }
-  env->psize = m0->dbs[0].pad;
-  if (env->psize < 512 || env->psize > (1u << 16) ||
-      (env->psize & (env->psize - 1)) != 0) {
-    set_err("%s: implausible page size %zu in meta (expect power of two in "
-            "[512, 65536]); corrupt meta page", fname.c_str(), env->psize);
-    return fail();
-  }
+  const Meta* live = (ok0 && ok1) ? (m1->txnid > m0->txnid ? m1 : m0)
+                                  : (ok0 ? m0 : m1);
+  env->psize = live->dbs[0].pad;
   if ((size_t)st.st_size < 2 * env->psize) {
     set_err("%s: file smaller than two %zu-byte meta pages", fname.c_str(),
             env->psize);
     return fail();
   }
-  const Meta* m1 =
-      reinterpret_cast<const Meta*>(env->map + env->psize + kPageHdrSize);
-  bool m1_ok = m1->magic == kMagic && m1->version == kDataVersion;
-  const Meta* live = (m1_ok && m1->txnid > m0->txnid) ? m1 : m0;
   uint16_t dbflags = live->dbs[1].flags;
   uint16_t bad = dbflags & (kDbReverseKey | kDbDupSort | kDbIntegerKey |
                             kDbDupFixed | kDbIntegerDup | kDbReverseDup);

@@ -291,3 +291,175 @@ def test_corruption_fuzz_never_crashes(patchable_env, native_lib):
         except IOError:
             continue
     open(f, "wb").write(pristine)
+
+
+# --- spec-edge fixtures the bulk writer's defaults never emit (VERDICT r3
+# #6): non-4K page sizes, >2-page overflow values, >=3-level B+trees at 67k
+# keys, torn meta-page recovery, and the backward-search property test
+# against the reference's per-frame loop semantics.
+
+@pytest.mark.parametrize("psize", [512, 2048, 8192, 65536])
+def test_non_4k_page_sizes(tmp_path, native_lib, psize):
+    """liblmdb supports any power-of-two page size in [512, 65536]; the
+    reader must take it from the meta, not assume 4096."""
+    from make_lmdb_fixture import write_lmdb
+    rng = np.random.default_rng(psize)
+    pairs = [(f"k{i:07d}".encode(),
+              rng.integers(0, 256, rng.integers(8, 120), dtype=np.uint8)
+              .tobytes()) for i in range(400)]
+    pairs.append((b"zz_overflow", bytes(rng.integers(0, 256, 5000,
+                                                     dtype=np.uint8))))
+    path = tmp_path / f"env{psize}"
+    write_lmdb(path, pairs, psize=psize)
+    env = native_lib.NativeLmdb(str(path))
+    assert env.entries == len(pairs)
+    table = dict(pairs)
+    for k in list(table)[::37] + [b"zz_overflow"]:
+        assert env.get(k) == table[k]
+    assert env.get(b"k9999999") is None
+    scanned = list(env.items())
+    assert [k for k, _ in scanned] == sorted(table)
+    assert all(v == table[k] for k, v in scanned)
+
+
+def test_multipage_overflow_values(tmp_path, native_lib):
+    """Overflow values spanning 3+ pages, including exact page-boundary
+    sizes (the writer's own tests only ever produced 2-page overflows)."""
+    from make_lmdb_fixture import write_lmdb
+    rng = np.random.default_rng(7)
+    sizes = [3 * 4096 - 16,      # exactly 3 pages incl. the 16B header
+             3 * 4096 - 15,      # one byte into the 4th page
+             4 * 4096, 70000]    # 17-plus pages
+    pairs = [(f"big{i}".encode(),
+              bytes(rng.integers(0, 256, s, dtype=np.uint8)))
+             for i, s in enumerate(sizes)]
+    pairs += [(f"small{i:04d}".encode(), b"v" * 30) for i in range(50)]
+    path = tmp_path / "env"
+    write_lmdb(path, pairs)
+    env = native_lib.NativeLmdb(str(path))
+    table = dict(pairs)
+    for k, v in table.items():
+        assert env.get(k) == v, k
+    assert sorted(k for k, _ in env.items()) == sorted(table)
+
+
+def test_deep_btree_67k_keys(tmp_path, native_lib):
+    """A >=3-level B+tree at real RULSTM scale (EK100 stores hold ~67k
+    frame keys per video set): point lookups, misses in every gap region,
+    and a complete in-order scan."""
+    import struct
+    from make_lmdb_fixture import write_lmdb
+    n = 67_000
+    rng = np.random.default_rng(67)
+    vals = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    # ids with gaps so misses exist between real keys
+    ids = np.cumsum(rng.integers(1, 3, n))
+    pairs = [(f"P01_{int(i):010d}.jpg".encode(), vals[j].tobytes())
+             for j, i in enumerate(ids)]
+    path = tmp_path / "env"
+    write_lmdb(path, pairs)
+    raw = open(os.path.join(path, "data.mdb"), "rb").read()
+    depth = struct.unpack_from("<H", raw, PAGE_HDR + 24 + 48 + 6)[0]
+    assert depth >= 3, f"fixture too shallow: depth={depth}"
+    env = native_lib.NativeLmdb(str(path))
+    assert env.entries == n
+    table = dict(pairs)
+    for k in list(table)[:: n // 211]:
+        assert env.get(k) == table[k]
+    id_set = set(int(i) for i in ids)
+    misses = [i for i in range(int(ids[0]), int(ids[-1]))
+              if i not in id_set][:: 997]
+    for i in misses:
+        assert env.get(f"P01_{i:010d}.jpg".encode()) is None
+    count = 0
+    prev = None
+    for k, v in env.items():
+        assert prev is None or k > prev  # memcmp order
+        assert v == table[k]
+        prev = k
+        count += 1
+    assert count == n
+
+
+def test_torn_meta_recovery(tmp_path, native_lib):
+    """A crash mid-commit tears ONE meta page; the reader must roll back to
+    the other committed meta instead of failing the open."""
+    import struct
+    from make_lmdb_fixture import write_lmdb
+    pairs = [(f"k{i:05d}".encode(), b"v" * (20 + i % 40)) for i in range(500)]
+    table = dict(pairs)
+
+    def make(name, psize=4096):
+        p = tmp_path / name
+        write_lmdb(p, pairs, psize=psize)
+        return p
+
+    def check_reads(p):
+        env = native_lib.NativeLmdb(str(p))
+        for k in list(table)[::71]:
+            assert env.get(k) == table[k]
+        assert env.entries == len(pairs)
+        env.close()
+
+    # 1. live meta (page 1, higher txnid) with torn magic -> meta 0 serves
+    p = make("torn_magic")
+    f = os.path.join(p, "data.mdb")
+    raw = bytearray(open(f, "rb").read())
+    struct.pack_into("<I", raw, PSIZE + META_MAGIC_OFF, 0x0BADF00D)
+    open(f, "wb").write(raw)
+    check_reads(p)
+
+    # 2. live meta valid-looking but its root beyond EOF (tail pages never
+    #    hit disk) -> roll back to meta 0
+    p = make("torn_root")
+    f = os.path.join(p, "data.mdb")
+    raw = bytearray(open(f, "rb").read())
+    struct.pack_into("<Q", raw, PSIZE + META_MAINDB_ROOT_OFF, 10 ** 9)
+    open(f, "wb").write(raw)
+    check_reads(p)
+
+    # 3. meta 0 torn to garbage (its recorded page size unusable) at a
+    #    non-default page size -> the reader probes for meta 1
+    for psize in (2048, 4096, 8192):
+        p = make(f"torn_meta0_{psize}", psize=psize)
+        f = os.path.join(p, "data.mdb")
+        raw = bytearray(open(f, "rb").read())
+        raw[:psize] = bytes(psize)  # meta 0 fully zeroed
+        open(f, "wb").write(raw)
+        check_reads(p)
+
+    # 4. both metas torn -> clean IOError naming both
+    p = make("torn_both")
+    f = os.path.join(p, "data.mdb")
+    raw = bytearray(open(f, "rb").read())
+    struct.pack_into("<I", raw, META_MAGIC_OFF, 0)
+    struct.pack_into("<I", raw, PSIZE + META_MAGIC_OFF, 0)
+    open(f, "wb").write(raw)
+    with pytest.raises(IOError, match="meta"):
+        native_lib.NativeLmdb(str(p))
+
+
+def test_resolve_backward_matches_reference_loop():
+    """Property test: the vectorized backward search equals the reference's
+    per-frame radius-10 loop (reference datasets/reader_fns.py:79-84) on
+    adversarial id layouts — gaps of exactly radius-1/radius/radius+1,
+    requests below the first stored id, beyond the last, and duplicates."""
+    from afft_tpu.data.readers import SEARCH_RADIUS, resolve_backward
+    assert SEARCH_RADIUS == 10  # reference searches offsets 0..9
+    rng = np.random.default_rng(0)
+    for trial in range(300):
+        n = int(rng.integers(1, 80))
+        gaps = rng.choice([1, 2, 8, 9, 10, 11, 40], size=n)
+        avail = np.cumsum(gaps).astype(np.int64) + int(rng.integers(0, 7))
+        avail_set = set(avail.tolist())
+        lo, hi = int(avail[0]) - 15, int(avail[-1]) + 15
+        req = rng.integers(lo, hi, size=60).astype(np.int64)
+        rows, found = resolve_backward(avail, req)
+        for fid, r, ok in zip(req.tolist(), rows, found):
+            # the reference loop: first hit scanning offsets 0..9 backward
+            want = next((fid - s for s in range(10) if fid - s in avail_set),
+                        None)
+            if want is None:
+                assert not ok, (trial, fid)
+            else:
+                assert ok and int(avail[r]) == want, (trial, fid, want)

@@ -5,6 +5,11 @@ filled left-to-right, branch levels bottom-up, overflow pages for values
 larger than the node max, double meta pages. Only what the afft_tpu native
 reader (native/lmdb_reader.cpp) and the real liblmdb need to *read*; no
 free-list, no dupsort.
+
+``psize`` is parameterizable (liblmdb supports any power of two in
+[512, 65536]; 4096 is the default everywhere, but real environments built
+with mdb_env_set_mapsize on huge-page systems differ) so tests can cover
+non-4K layouts end to end.
 """
 
 from __future__ import annotations
@@ -12,11 +17,9 @@ from __future__ import annotations
 import struct
 from pathlib import Path
 
-PSIZE = 4096
 PAGE_HDR = 16
 P_BRANCH, P_LEAF, P_OVERFLOW, P_META = 0x01, 0x02, 0x04, 0x08
 F_BIGDATA = 0x01
-NODE_MAX = ((PSIZE - PAGE_HDR) // 2) & ~1  # liblmdb me_nodemax
 P_INVALID = 0xFFFFFFFFFFFFFFFF
 
 
@@ -25,20 +28,21 @@ def _even(n):
 
 
 class _PageBuilder:
-    def __init__(self):
-        self.pages = []  # list of bytearray(PSIZE), index = pgno - 2
+    def __init__(self, psize):
+        self.psize = psize
+        self.pages = []  # list of bytearray(psize), index = pgno - 2
 
     def alloc(self, npages=1):
         pgno = len(self.pages) + 2
         for _ in range(npages):
-            self.pages.append(bytearray(PSIZE))
+            self.pages.append(bytearray(self.psize))
         return pgno
 
     def write_node_page(self, flags, nodes):
         """nodes: list of bytes (full node incl. 8B header). Returns pgno."""
         pgno = self.alloc()
         pg = self.pages[pgno - 2]
-        upper = PSIZE
+        upper = self.psize
         ptrs = []
         for node in nodes:
             size = _even(len(node))
@@ -52,19 +56,20 @@ class _PageBuilder:
         return pgno
 
     def write_overflow(self, data):
-        npages = -(-(PAGE_HDR + len(data)) // PSIZE)
+        npages = -(-(PAGE_HDR + len(data)) // self.psize)
         pgno = self.alloc(npages)
-        buf = bytearray(npages * PSIZE)
+        buf = bytearray(npages * self.psize)
         struct.pack_into("<QHHI", buf, 0, pgno, 0, P_OVERFLOW, npages)
         buf[PAGE_HDR:PAGE_HDR + len(data)] = data
         for i in range(npages):
-            self.pages[pgno - 2 + i][:] = buf[i * PSIZE:(i + 1) * PSIZE]
+            self.pages[pgno - 2 + i][:] = \
+                buf[i * self.psize:(i + 1) * self.psize]
         return pgno, npages
 
 
-def _leaf_node(key, value, builder, stats):
+def _leaf_node(key, value, builder, stats, node_max):
     dsize = len(value)
-    if 8 + len(key) + dsize > NODE_MAX:
+    if 8 + len(key) + dsize > node_max:
         opgno, npages = builder.write_overflow(value)
         stats["overflow_pages"] += npages
         return struct.pack("<HHHH", dsize & 0xFFFF, (dsize >> 16) & 0xFFFF,
@@ -78,18 +83,21 @@ def _branch_node(key, pgno):
                        (pgno >> 32) & 0xFFFF, len(key)) + key
 
 
-def write_lmdb(path, kv_pairs):
+def write_lmdb(path, kv_pairs, psize=4096):
     """kv_pairs: iterable of (bytes key, bytes value); will be sorted with
     liblmdb's default comparator (memcmp, shorter first)."""
+    assert psize >= 512 and psize <= 65536 and psize & (psize - 1) == 0, \
+        f"liblmdb page sizes are powers of two in [512, 65536]: {psize}"
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     pairs = sorted(kv_pairs, key=lambda kv: kv[0])
-    builder = _PageBuilder()
+    builder = _PageBuilder(psize)
     stats = {"overflow_pages": 0}
+    node_max = ((psize - PAGE_HDR) // 2) & ~1  # liblmdb me_nodemax
 
     # leaves
     leaf_entries = []  # (first_key, pgno)
-    cur_nodes, cur_first, cur_space = [], None, PSIZE - PAGE_HDR
+    cur_nodes, cur_first, cur_space = [], None, psize - PAGE_HDR
     leaf_pages = 0
 
     def flush_leaf():
@@ -99,10 +107,10 @@ def write_lmdb(path, kv_pairs):
         pgno = builder.write_node_page(P_LEAF, cur_nodes)
         leaf_entries.append((cur_first, pgno))
         leaf_pages += 1
-        cur_nodes, cur_first, cur_space = [], None, PSIZE - PAGE_HDR
+        cur_nodes, cur_first, cur_space = [], None, psize - PAGE_HDR
 
     for key, value in pairs:
-        node = _leaf_node(key, value, builder, stats)
+        node = _leaf_node(key, value, builder, stats, node_max)
         need = _even(len(node)) + 2
         if need > cur_space:
             flush_leaf()
@@ -118,7 +126,7 @@ def write_lmdb(path, kv_pairs):
     branch_pages = 0
     while len(level) > 1:
         next_level = []
-        cur_nodes, cur_first, cur_space = [], None, PSIZE - PAGE_HDR
+        cur_nodes, cur_first, cur_space = [], None, psize - PAGE_HDR
         first_in_page = True
 
         def flush_branch():
@@ -129,7 +137,7 @@ def write_lmdb(path, kv_pairs):
             pgno = builder.write_node_page(P_BRANCH, cur_nodes)
             next_level.append((cur_first, pgno))
             branch_pages += 1
-            cur_nodes, cur_first, cur_space = [], None, PSIZE - PAGE_HDR
+            cur_nodes, cur_first, cur_space = [], None, psize - PAGE_HDR
             first_in_page = True
 
         for key, child in level:
@@ -156,16 +164,16 @@ def write_lmdb(path, kv_pairs):
 
     # metas: page1 is the live one (txnid 1)
     total_pages = len(builder.pages) + 2
-    filesize = total_pages * PSIZE
+    filesize = total_pages * psize
 
     def meta_page(pgno, txnid):
-        pg = bytearray(PSIZE)
+        pg = bytearray(psize)
         struct.pack_into("<QHHHH", pg, 0, pgno, 0, P_META, 0, 0)
         off = PAGE_HDR
         struct.pack_into("<IIQQ", pg, off, 0xBEEFC0DE, 1, 0, filesize)
         off += 24
         # dbs[0] (free db): pad carries the page size
-        struct.pack_into("<IHHQQQQQ", pg, off, PSIZE, 0, 0, 0, 0, 0, 0,
+        struct.pack_into("<IHHQQQQQ", pg, off, psize, 0, 0, 0, 0, 0, 0,
                          P_INVALID)
         off += 48
         struct.pack_into("<IHHQQQQQ", pg, off, 0, 0, depth, branch_pages,
