@@ -526,3 +526,22 @@ class DefaultReader:
         rate = cap.get(cv2.CAP_PROP_FPS)
         cap.release()
         return rate
+
+
+def get_video_info(video_path, props):
+    """Query video properties (reference common/utils.py:235-250).
+
+    props is a list drawn from {'fps', 'len'}; 'len' is the duration in
+    seconds (0.0 when the container reports no usable fps, matching the
+    reference's guard)."""
+    import cv2
+    out = {}
+    cap = cv2.VideoCapture(str(video_path))
+    if "fps" in props:
+        out["fps"] = cap.get(cv2.CAP_PROP_FPS)
+    if "len" in props:
+        fps = cap.get(cv2.CAP_PROP_FPS)
+        out["len"] = 0.0 if fps <= 0 else \
+            cap.get(cv2.CAP_PROP_FRAME_COUNT) / fps
+    cap.release()
+    return out

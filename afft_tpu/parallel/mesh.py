@@ -22,15 +22,58 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _slurm_rendezvous():
+    """SLURM-launched rendezvous (reference common/utils.py:157-172:
+    submitit JobEnvironment / SLURM_PROCID fallbacks).
+
+    Returns (coordinator, num_processes, process_id) when running under a
+    multi-task SLURM step without explicit coordinator env vars, else None.
+    The coordinator is task 0's node (first entry of the expanded nodelist),
+    on a port derived from the job id so concurrent jobs on a shared node
+    don't collide — the same convention the reference's get_init_file
+    shared-FS rendezvous exists to solve."""
+    if "SLURM_PROCID" not in os.environ or "SLURM_NTASKS" not in os.environ:
+        return None
+    ntasks = int(os.environ["SLURM_NTASKS"])
+    if ntasks <= 1:
+        return None
+    nodelist = os.environ.get("SLURM_STEP_NODELIST",
+                              os.environ.get("SLURM_JOB_NODELIST", ""))
+    # expand "prefix[a-b,c],other" -> first hostname; scontrol is the
+    # canonical expander but may be absent inside containers
+    try:
+        import subprocess
+        first = subprocess.run(
+            ["scontrol", "show", "hostnames", nodelist],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.split()[0]
+    except (OSError, IndexError, subprocess.TimeoutExpired):
+        import re
+        m = re.match(r"([^\[,]+)(?:\[([^\]\-,]+))?", nodelist)
+        if not m or not m.group(1):
+            return None
+        first = m.group(1) + (m.group(2) or "")
+    port = 12300 + int(os.environ.get("SLURM_JOB_ID", "0")) % 20000
+    return (f"{first}:{port}", ntasks, int(os.environ["SLURM_PROCID"]))
+
+
 def init_distributed(logger=None):
     """Multi-host init (reference utils.init_distributed_mode equivalent).
 
     Uses jax.distributed when launched with the standard coordinator env
-    vars; single-host runs need nothing.
+    vars; falls back to a SLURM rendezvous (reference
+    common/utils.py:157-172) when launched as a multi-task SLURM step;
+    single-host runs need nothing.
     """
     if "JAX_COORDINATOR_ADDRESS" in os.environ or \
             "COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
+    else:
+        slurm = _slurm_rendezvous()
+        if slurm is not None:
+            coordinator, nprocs, pid = slurm
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=nprocs, process_id=pid)
     info = {
         "world_size": jax.process_count(),
         "rank": jax.process_index(),

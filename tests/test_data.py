@@ -398,6 +398,14 @@ class TestDefaultReader:
         assert video_arr.ndim == 4 and len(audio) == 0
         assert info["video_fps"] == 10.0 and timings == {}
 
+    def test_get_video_info(self, video):
+        """reference common/utils.py:235-250 helper parity."""
+        from afft_tpu.data.readers import get_video_info
+        info = get_video_info(video, ["fps", "len"])
+        assert info["fps"] == 10.0
+        assert abs(info["len"] - 4.0) < 0.2  # 40 frames at 10 fps
+        assert get_video_info(video, ["fps"]) == {"fps": 10.0}
+
     def test_through_dataset_sampling(self, video, tmp_path):
         """FeatureClipDataset samples raw-video windows end-to-end (clip
         strategies + fps subsample + pad run on the frame axis)."""

@@ -591,3 +591,48 @@ def test_apply_updates_bf16_master_stochastic():
     sto = O.apply_updates(p, u, sr_key=jax.random.key(0))
     mean = float(np.asarray(sto["w"].astype(jnp.float32)).mean())
     assert abs(mean - 256.125) < 0.03, mean
+
+
+class TestSlurmRendezvous:
+    """init_distributed's SLURM fallback (reference common/utils.py:157-172:
+    submitit JobEnvironment / SLURM_PROCID rendezvous)."""
+
+    def test_not_slurm(self, monkeypatch):
+        from afft_tpu.parallel.mesh import _slurm_rendezvous
+        for k in ("SLURM_PROCID", "SLURM_NTASKS", "SLURM_JOB_ID",
+                  "SLURM_STEP_NODELIST", "SLURM_JOB_NODELIST"):
+            monkeypatch.delenv(k, raising=False)
+        assert _slurm_rendezvous() is None
+
+    def test_single_task_is_not_distributed(self, monkeypatch):
+        from afft_tpu.parallel.mesh import _slurm_rendezvous
+        monkeypatch.setenv("SLURM_PROCID", "0")
+        monkeypatch.setenv("SLURM_NTASKS", "1")
+        assert _slurm_rendezvous() is None
+
+    @pytest.mark.parametrize("nodelist,first", [
+        ("node07,node09", "node07"),
+        ("gpu[3-5]", "gpu3"),
+        ("tpu-host[017-020,031]", "tpu-host017"),
+        ("single-node", "single-node"),
+    ])
+    def test_nodelist_coordinator(self, monkeypatch, nodelist, first):
+        import subprocess
+        from afft_tpu.parallel import mesh as M
+        monkeypatch.setenv("SLURM_PROCID", "3")
+        monkeypatch.setenv("SLURM_NTASKS", "4")
+        monkeypatch.setenv("SLURM_JOB_ID", "123456")
+        monkeypatch.setenv("SLURM_STEP_NODELIST", nodelist)
+        # force the regex fallback (scontrol absent in containers)
+        real_run = subprocess.run
+
+        def no_scontrol(cmd, **kw):
+            if cmd[0] == "scontrol":
+                raise FileNotFoundError("scontrol")
+            return real_run(cmd, **kw)
+
+        monkeypatch.setattr(subprocess, "run", no_scontrol)
+        coord, n, pid = M._slurm_rendezvous()
+        host, port = coord.rsplit(":", 1)
+        assert host == first and n == 4 and pid == 3
+        assert int(port) == 12300 + 123456 % 20000
