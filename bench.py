@@ -227,14 +227,34 @@ def bench_cold_path(n_windows=3, passes_per_window=2):
         n = run_window(passes_per_window)
         best = max(best, n / (time.perf_counter() - t0))
 
-    # itemization leg: loader-only (no staging, no forward)
+    # itemization leg 1: loader-only (no staging, no forward)
     loader_best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
         n = sum(int(b["valid"].sum()) for _ in range(passes_per_window)
                 for b in loader)
         loader_best = max(loader_best, n / (time.perf_counter() - t0))
-    return best, loader_best
+
+    # itemization leg 2: loader + staging (no forward) -> clips/s and the
+    # implied host->device link MB/s. On the tunneled dev TPU the link
+    # sustains only ~10-50 MB/s (oscillating), which bounds the cold path
+    # far below the warm-HBM number; on a real TPU VM host the same staged
+    # traffic rides PCIe DMA at GB/s and the loader/forward become binding.
+    staging_best, link_mbps = 0.0, 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n, nbytes, last = 0, 0, None
+        for batch in loader:
+            staged = {m: jnp.asarray(v)
+                      for m, v in batch["data_dict"].items()}
+            nbytes += sum(v.nbytes for v in batch["data_dict"].values())
+            n += int(batch["valid"].sum())
+            last = next(iter(staged.values()))
+        force_device_sync(last)
+        dt = time.perf_counter() - t0
+        staging_best = max(staging_best, n / dt)
+        link_mbps = max(link_mbps, nbytes / dt / 1e6)
+    return best, loader_best, staging_best, link_mbps
 
 
 def bench_afft(n_warmup=3, n_iters=20):
@@ -516,7 +536,7 @@ def main():
     assert implied < V5E_BF16_PEAK, \
         f"implausible throughput {value:.0f} clips/s -> {implied / 1e12:.0f} " \
         f"TFLOPS sustained > {V5E_BF16_PEAK / 1e12:.0f} peak; sync is broken"
-    cold, cold_loader = bench_cold_path()
+    cold, cold_loader, cold_staging, cold_link_mbps = bench_cold_path()
     baseline = get_torch_baseline()
     egtea = bench_egtea()
     train_ms = bench_train()
@@ -529,9 +549,14 @@ def main():
         "ms_per_batch": round(BATCH / value * 1000, 2),
         "mfu": round(value * FLOPS_PER_CLIP / V5E_BF16_PEAK, 3),
         # cold path: annotations -> BatchLoader -> staging -> forward
-        # (no HBM pre-staging); loader-only itemizes host batch production
+        # (no HBM pre-staging). Itemization: loader-only = host batch
+        # production; staging-only = loader + host->device upload (the
+        # tunneled dev link's MB/s is the binding constraint; see
+        # bench_cold_path docstring)
         "cold_clips_per_sec": round(cold, 2),
         "cold_loader_clips_per_sec": round(cold_loader, 2),
+        "cold_staging_clips_per_sec": round(cold_staging, 2),
+        "cold_link_mbps": round(cold_link_mbps, 1),
         "egtea_clips_per_sec": round(egtea, 2),
         "train_ms_per_step": round(train_ms, 2),
         "train_batch": 64,
