@@ -9,13 +9,21 @@ drop_path all 0.1), so training fell back to the XLA op-by-op path at
   (+attn-weight dropout) → proj (+dropout, +drop-path) → residual → LN2 →
   MLP(GELU) (+dropout, +drop-path) → residual — in ONE kernel, with every
   dropout mask drawn by the on-core PRNG (pltpu.prng_*). Besides the block
-  output it emits ``y``, the mid-block residual, which is the only extra
-  state the backward needs.
-- ``_bwd_mlp_kernel`` / ``_bwd_attn_kernel``: recompute the half-block
-  forward from (y, x) in VMEM, regenerate the identical dropout masks from
-  the same (seed, block, site, grid-step) PRNG streams, and produce input
-  and parameter gradients. Parameter grads accumulate across grid steps in
-  fp32 VMEM (output blocks pinned to index 0).
+  output it emits the backward residuals: ``y`` (the mid-block residual)
+  plus the two big matmul products ``qkv`` and ``pre1`` in the compute
+  dtype. Stashing those trades ~75 GFLOP/block of backward recompute (the
+  qkv and fc1 matmuls, 16% of the block's total) for ~73 MB/block of HBM
+  traffic whose DMAs hide under the matmuls — measured faster at flagship
+  shapes (round 4). ``qkv`` is stashed exactly as the forward cast it, so
+  the backward stays bit-identical to the recompute version; ``pre1`` is
+  fp32 in-kernel and stashed in the compute dtype, so at bf16 only the
+  gelu-grad/h1 terms see one extra rounding (grads, never primals).
+- ``_bwd_mlp_kernel`` / ``_bwd_attn_kernel``: rebuild the cheap elementwise
+  state (LayerNorms) from (y, x) in VMEM, reuse the stashed qkv/pre1,
+  regenerate the identical dropout masks from the same (seed, block, site,
+  grid-step) PRNG streams, and produce input and parameter gradients.
+  Parameter grads accumulate across grid steps in fp32 VMEM (output blocks
+  pinned to index 0).
 
 Dropout semantics match afft_tpu.models.layers exactly (keep-prob masks,
 1/keep scaling; drop-path per B*T row); behavioural reference for the block
@@ -181,7 +189,7 @@ def _attention_fwd(q, k, v, mask_ref, abits, thr_ref, inv_ref, *,
 
 def _fwd_kernel(x_ref, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
                 ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, mask_ref, seeds_ref,
-                thr_ref, inv_ref, o_ref, y_ref, *,
+                thr_ref, inv_ref, o_ref, y_ref, qkv_ref, pre1_ref, *,
                 n_tokens, num_heads, head_dim, eps):
     """Tokens-major (N, TR, C) tile through the whole training block."""
     C = num_heads * head_dim
@@ -224,14 +232,20 @@ def _fwd_kernel(x_ref, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
 
     o_ref[...] = out.astype(o_ref.dtype).reshape(n_tokens, TR, C)
     y_ref[...] = y.astype(y_ref.dtype).reshape(n_tokens, TR, C)
+    # backward residuals: qkv exactly as cast above (bit-identical replay);
+    # pre1 rounded to the compute dtype (backward-only precision)
+    qkv_ref[...] = qkv.reshape(n_tokens, TR, 3 * C)
+    pre1_ref[...] = pre1.astype(pre1_ref.dtype).reshape(
+        n_tokens, TR, pre1.shape[-1])
 
 
-def _bwd_mlp_kernel(y_ref, do_ref, ln2g, ln2b, wfc1, bfc1, wfc2,
+def _bwd_mlp_kernel(y_ref, do_ref, pre1_ref, ln2g, ln2b, wfc1, wfc2,
                     seeds_ref, thr_ref, inv_ref,
                     dy_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                     dg2_ref, db2ln_ref, *,
                     n_tokens, num_heads, head_dim, eps):
-    """MLP-half backward: (y, dout) -> dy + {fc1, fc2, ln2} grads."""
+    """MLP-half backward: (y, dout, stashed pre1) -> dy + {fc1, fc2, ln2}
+    grads. wfc1 is only read for dg = dpre1 @ W1^T."""
     C = num_heads * head_dim
     TR = y_ref.shape[1]
     M = n_tokens * TR
@@ -249,12 +263,13 @@ def _bwd_mlp_kernel(y_ref, do_ref, ln2g, ln2b, wfc1, bfc1, wfc2,
     y_all = y_ref[...].reshape(M, C).astype(jnp.float32)
     do_all = do_ref[...].reshape(M, C).astype(jnp.float32)
 
-    # recompute forward MLP half
+    # rebuild the elementwise MLP-half state; the fc1 matmul product comes
+    # stashed from the forward
     xhat2, rstd2 = _ln_stats(y_all, eps)
     g2_32 = ln2g[0].astype(jnp.float32)
     g = xhat2 * g2_32 + ln2b[0].astype(jnp.float32)
     g_c = g.astype(in_dtype)
-    pre1 = _dot(g_c, wfc1[:]) + bfc1[0].astype(jnp.float32)
+    pre1 = pre1_ref[...].reshape(M, -1).astype(jnp.float32)
     h1 = _gelu_exact(pre1).astype(in_dtype)
 
     # regenerate masks (same streams as _fwd_kernel)
@@ -285,12 +300,13 @@ def _bwd_mlp_kernel(y_ref, do_ref, ln2g, ln2b, wfc1, bfc1, wfc2,
     dy_ref[...] = dy.astype(dy_ref.dtype).reshape(n_tokens, TR, C)
 
 
-def _bwd_attn_kernel(x_ref, dy_ref, ln1g, ln1b, wqkv, bqkv, wproj,
+def _bwd_attn_kernel(x_ref, dy_ref, qkv_stash_ref, ln1g, ln1b, wqkv, wproj,
                      mask_ref, seeds_ref, thr_ref, inv_ref,
                      dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
                      dg1_ref, db1ln_ref, *,
                      n_tokens, num_heads, head_dim, eps):
-    """Attention-half backward: (x, dy) -> dx + {qkv, proj, ln1} grads."""
+    """Attention-half backward: (x, dy, stashed qkv) -> dx + {qkv, proj,
+    ln1} grads. wqkv is only read for dxn = dqkv @ Wqkv^T."""
     C = num_heads * head_dim
     TR = x_ref.shape[1]
     M = n_tokens * TR
@@ -309,13 +325,14 @@ def _bwd_attn_kernel(x_ref, dy_ref, ln1g, ln1b, wqkv, bqkv, wproj,
     x_all = x_ref[...].reshape(M, C).astype(jnp.float32)
     dy_all = dy_ref[...].reshape(M, C).astype(jnp.float32)
 
-    # ---- recompute forward attention half (bit-identical ops) -------------
+    # ---- rebuild forward attention-half state (bit-identical: the qkv
+    # product is stashed exactly as the forward cast it; only the cheap
+    # LayerNorm is recomputed) ----------------------------------------------
     xhat1, rstd1 = _ln_stats(x_all, eps)
     g1_32 = ln1g[0].astype(jnp.float32)
     xn = xhat1 * g1_32 + ln1b[0].astype(jnp.float32)
     xn_c = xn.astype(in_dtype)
-    qkv = (_dot(xn_c, wqkv[:])
-           + bqkv[0].astype(jnp.float32)).astype(in_dtype)
+    qkv = qkv_stash_ref[...].reshape(M, 3 * C)
     q = [qkv[t * TR:(t + 1) * TR, :C] for t in range(n_tokens)]
     k = [qkv[t * TR:(t + 1) * TR, C:2 * C] for t in range(n_tokens)]
     v = [qkv[t * TR:(t + 1) * TR, 2 * C:] for t in range(n_tokens)]
@@ -508,11 +525,17 @@ def _fwd_call(x, flat, mask, seeds_op, thr, inv, *, num_heads, eps, block_r,
     grid = (pl.cdiv(R, block_r),)
     x_spec = pl.BlockSpec((N, block_r, C), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
-    out, y = pl.pallas_call(
+    qkv_spec = pl.BlockSpec((N, block_r, 3 * C), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    pre1_spec = pl.BlockSpec((N, block_r, mlp_hidden), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    out, y, qkv, pre1 = pl.pallas_call(
         functools.partial(_fwd_kernel, n_tokens=N, num_heads=num_heads,
                           head_dim=C // num_heads, eps=eps),
         out_shape=(jax.ShapeDtypeStruct((N, R, C), dt),
-                   jax.ShapeDtypeStruct((N, R, C), dt)),
+                   jax.ShapeDtypeStruct((N, R, C), dt),
+                   jax.ShapeDtypeStruct((N, R, 3 * C), dt),
+                   jax.ShapeDtypeStruct((N, R, mlp_hidden), dt)),
         grid=grid,
         in_specs=[
             x_spec,
@@ -527,11 +550,11 @@ def _fwd_call(x, flat, mask, seeds_op, thr, inv, *, num_heads, eps, block_r,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(x_spec, x_spec),
+        out_specs=(x_spec, x_spec, qkv_spec, pre1_spec),
         compiler_params=_vmem_params(),
         interpret=interpret,
     )(x, *flat, mask, seeds_op, thr, inv)
-    return out, y
+    return out, y, qkv, pre1
 
 
 def _acc_spec(shape):
@@ -540,16 +563,18 @@ def _acc_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _bwd_mlp_call(y, dout, flat, seeds_op, thr, inv, *, num_heads, eps,
-                  block_r, interpret):
+def _bwd_mlp_call(y, dout, pre1, flat, seeds_op, thr, inv, *, num_heads,
+                  eps, block_r, interpret):
     N, R, C = y.shape
     dt = y.dtype
     ln2g, ln2b = flat[6], flat[7]
-    wfc1, bfc1, wfc2 = flat[8], flat[9], flat[10]
+    wfc1, wfc2 = flat[8], flat[10]
     H = wfc1.shape[1]
     grid = (pl.cdiv(R, block_r),)
     x_spec = pl.BlockSpec((N, block_r, C), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
+    pre1_spec = pl.BlockSpec((N, block_r, H), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
     f32 = jnp.float32
     return pl.pallas_call(
         functools.partial(_bwd_mlp_kernel, n_tokens=N, num_heads=num_heads,
@@ -563,30 +588,32 @@ def _bwd_mlp_call(y, dout, flat, seeds_op, thr, inv, *, num_heads, eps,
                    jax.ShapeDtypeStruct((1, C), f32)),       # dln2b
         grid=grid,
         in_specs=[
-            x_spec, x_spec,
+            x_spec, x_spec, pre1_spec,
             _const((1, C)), _const((1, C)),
-            _const((C, H)), _const((1, H)), _const((H, C)),
+            _const((C, H)), _const((H, C)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(x_spec, _acc_spec((C, H)), _acc_spec((1, H)),
                    _acc_spec((H, C)), _acc_spec((1, C)),
-                   _acc_spec((1, C)), _acc_spec((1, C))),
-        compiler_params=_vmem_params(),
+                   _acc_spec((1, C)), _acc_spec((1, C)),),
+        compiler_params=_vmem_params(n_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(y, dout, ln2g, ln2b, wfc1, bfc1, wfc2, seeds_op, thr, inv)
+    )(y, dout, pre1, ln2g, ln2b, wfc1, wfc2, seeds_op, thr, inv)
 
 
-def _bwd_attn_call(x, dy, flat, mask, seeds_op, thr, inv, *, num_heads, eps,
-                   block_r, interpret):
+def _bwd_attn_call(x, dy, qkv, flat, mask, seeds_op, thr, inv, *, num_heads,
+                   eps, block_r, interpret):
     N, R, C = x.shape
     dt = x.dtype
     ln1g, ln1b = flat[0], flat[1]
-    wqkv, bqkv, wproj = flat[2], flat[3], flat[4]
+    wqkv, wproj = flat[2], flat[4]
     grid = (pl.cdiv(R, block_r),)
     x_spec = pl.BlockSpec((N, block_r, C), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((N, block_r, 3 * C), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
     f32 = jnp.float32
     return pl.pallas_call(
         functools.partial(_bwd_attn_kernel, n_tokens=N, num_heads=num_heads,
@@ -600,9 +627,9 @@ def _bwd_attn_call(x, dy, flat, mask, seeds_op, thr, inv, *, num_heads, eps,
                    jax.ShapeDtypeStruct((1, C), f32)),       # dln1b
         grid=grid,
         in_specs=[
-            x_spec, x_spec,
+            x_spec, x_spec, qkv_spec,
             _const((1, C)), _const((1, C)),
-            _const((C, 3 * C)), _const((1, 3 * C)), _const((C, C)),
+            _const((C, 3 * C)), _const((C, C)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -613,7 +640,7 @@ def _bwd_attn_call(x, dy, flat, mask, seeds_op, thr, inv, *, num_heads, eps,
                    _acc_spec((1, C)), _acc_spec((1, C))),
         compiler_params=_vmem_params(),
         interpret=interpret,
-    )(x, dy, ln1g, ln1b, wqkv, bqkv, wproj, mask, seeds_op, thr, inv)
+    )(x, dy, qkv, ln1g, ln1b, wqkv, wproj, mask, seeds_op, thr, inv)
 
 
 def draw_masks(R, N, C, num_heads, seeds, block_idx, attn_rate, drop_rate,
@@ -666,29 +693,29 @@ _FLAT_KEYS = [("norm1", "g"), ("norm1", "b"),
 def _core(x, flat, mask, seeds_op, rates, num_heads, eps, block_r,
           interpret):
     thr, inv = rates
-    out, _ = _fwd_call(x, flat, mask, seeds_op, thr, inv,
-                       num_heads=num_heads, eps=eps, block_r=block_r,
-                       interpret=interpret)
+    out, _, _, _ = _fwd_call(x, flat, mask, seeds_op, thr, inv,
+                             num_heads=num_heads, eps=eps, block_r=block_r,
+                             interpret=interpret)
     return out
 
 
 def _core_fwd(x, flat, mask, seeds_op, rates, num_heads, eps, block_r,
               interpret):
     thr, inv = rates
-    out, y = _fwd_call(x, flat, mask, seeds_op, thr, inv,
-                       num_heads=num_heads, eps=eps, block_r=block_r,
-                       interpret=interpret)
-    return out, (x, y, flat, mask, seeds_op, rates)
+    out, y, qkv, pre1 = _fwd_call(x, flat, mask, seeds_op, thr, inv,
+                                  num_heads=num_heads, eps=eps,
+                                  block_r=block_r, interpret=interpret)
+    return out, (x, y, qkv, pre1, flat, mask, seeds_op, rates)
 
 
 def _core_bwd(num_heads, eps, block_r, interpret, res, dout):
-    x, y, flat, mask, seeds_op, (thr, inv) = res
+    x, y, qkv, pre1, flat, mask, seeds_op, (thr, inv) = res
     dy, dw1, db1, dw2, db2, dg2, db2ln = _bwd_mlp_call(
-        y, dout, flat, seeds_op, thr, inv, num_heads=num_heads, eps=eps,
-        block_r=block_r, interpret=interpret)
+        y, dout, pre1, flat, seeds_op, thr, inv, num_heads=num_heads,
+        eps=eps, block_r=block_r, interpret=interpret)
     dx, dwqkv, dbqkv, dwproj, dbproj, dg1, db1ln = _bwd_attn_call(
-        x, dy, flat, mask, seeds_op, thr, inv, num_heads=num_heads, eps=eps,
-        block_r=block_r, interpret=interpret)
+        x, dy, qkv, flat, mask, seeds_op, thr, inv, num_heads=num_heads,
+        eps=eps, block_r=block_r, interpret=interpret)
 
     def like(g, ref):
         return g.reshape(ref.shape).astype(ref.dtype)

@@ -8,8 +8,10 @@ cannot keep fp32 weight-grad accumulators in VMEM (the MLP's would be
 - three Pallas kernels produce the input-side cotangent chains — the ops
   XLA runs badly (LN recompute + LN backward, softmax backward, dropout
   mask regeneration, gelu') — and EXPORT the intermediate cotangents and
-  recomputed activations (dqkv, dproj, attn_out, xn, dh2, dpre1, h1, g)
-  in the compute dtype;
+  rebuilt activations (dqkv, dproj, attn_out, xn, dh2, dpre1, h1, g)
+  in the compute dtype. Neither big forward matmul is re-run: the
+  forward stashes its qkv and pre1 products as residuals (round 4;
+  the fuser train block does the same);
 - XLA then runs the eight dW/db matmuls over those exports, which it
   already executes at near-peak MXU rates.
 
@@ -80,8 +82,8 @@ def _attn_keep(bits, thr_ref, inv_ref, tb, n_tokens, h):
 # ---------------------------------------------------------------------------
 
 def _attn_half_train_kernel(x_ref, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
-                            mask_ref, seeds_ref, thr_ref, inv_ref, y_ref, *,
-                            n_tokens, num_heads, head_dim, eps):
+                            mask_ref, seeds_ref, thr_ref, inv_ref, y_ref,
+                            qkv_ref, *, n_tokens, num_heads, head_dim, eps):
     TB = x_ref.shape[0]
     C = num_heads * head_dim
     M = TB * n_tokens
@@ -123,6 +125,10 @@ def _attn_half_train_kernel(x_ref, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
     mres = _keep(_bits24((M, C)), thr_ref, 1) * inv_ref[1]
     y = x32 + proj * mres
     y_ref[...] = y.astype(y_ref.dtype).reshape(TB, n_tokens, C)
+    # backward residual: the qkv product exactly as cast above, so the
+    # backward's attention rebuild stays bit-identical without re-running
+    # the (M, C) x (C, 3C) matmul
+    qkv_ref[...] = qkv
 
 
 def _mlp_half_train_kernel(y_ref, ln2g, ln2b, wfc1, bfc1, wfc2, bfc2,
@@ -207,12 +213,13 @@ def _mlp_bwd2_kernel(y_ref, do_ref, dpre1_ref, ln2g, ln2b, wfc1,
     g_ref[...] = g.astype(g_ref.dtype)
 
 
-def _attn_bwd_kernel(x_ref, dy_ref, ln1g, ln1b, wqkv, bqkv, wproj, mask_ref,
-                     seeds_ref, thr_ref, inv_ref,
+def _attn_bwd_kernel(x_ref, dy_ref, qkv_stash_ref, ln1g, ln1b, wqkv, wproj,
+                     mask_ref, seeds_ref, thr_ref, inv_ref,
                      dx_ref, dqkv_ref, dproj_ref, ao_ref, xn_ref,
                      dg1_ref, db1_ref, *, n_tokens, num_heads, head_dim,
                      eps):
-    """(x, dy) -> dx + exports (dqkv, dproj, attn_out, xn) for XLA dW."""
+    """(x, dy, stashed qkv) -> dx + exports (dqkv, dproj, attn_out, xn)
+    for XLA dW. wqkv is only read for dxn = dqkv @ Wqkv^T."""
     TB = x_ref.shape[0]
     C = num_heads * head_dim
     M = TB * n_tokens
@@ -227,14 +234,13 @@ def _attn_bwd_kernel(x_ref, dy_ref, ln1g, ln1b, wqkv, bqkv, wproj, mask_ref,
     x32 = x_ref[...].reshape(M, C).astype(jnp.float32)
     dy32 = dy_ref[...].reshape(M, C).astype(jnp.float32)
 
-    # recompute forward attention (identical ops + regenerated masks)
+    # rebuild forward attention state (identical ops + regenerated masks;
+    # the qkv matmul product comes stashed from the forward, bit-identical)
     xhat1, rstd1 = _ln_stats(x32, eps)
     g1_32 = ln1g[0].astype(jnp.float32)
     xn = xhat1 * g1_32 + ln1b[0].astype(jnp.float32)
     xn_c = xn.astype(in_dtype)
-    qkv = (_dot(xn_c, wqkv[:])
-           + bqkv[0].astype(jnp.float32)).astype(in_dtype)
-    qkv3 = qkv.reshape(TB, n_tokens, 3 * C)
+    qkv3 = qkv_stash_ref[...].reshape(TB, n_tokens, 3 * C)
     _seed(seeds_ref, SITE_ATTN)
     abits = _bits24((M, 128))
     _seed(seeds_ref, SITE_PROJ)
@@ -353,17 +359,18 @@ def _fwd_calls(x, flat, mask, seeds_op, thr, inv, *, num_heads, eps,
     Hmlp = wfc1.shape[1]
     grid = (pl.cdiv(B, block_b),)
     xs = _specs(block_b, T, C)
-    y = pl.pallas_call(
+    y, qkv = pl.pallas_call(
         functools.partial(_attn_half_train_kernel, n_tokens=T,
                           num_heads=num_heads, head_dim=C // num_heads,
                           eps=eps),
-        out_shape=jax.ShapeDtypeStruct((B, T, C), dt),
+        out_shape=(jax.ShapeDtypeStruct((B, T, C), dt),
+                   jax.ShapeDtypeStruct((B * T, 3 * C), dt)),
         grid=grid,
         in_specs=[xs, _const((1, C)), _const((1, C)),
                   _const((C, 3 * C)), _const((1, 3 * C)),
                   _const((C, C)), _const((1, C)), _const((T, T)),
                   _smem(), _smem(), _smem()],
-        out_specs=xs,
+        out_specs=(xs, _row_spec(block_b, T, 3 * C)),
         compiler_params=_vmem(),
         interpret=interpret,
     )(x, ln1g, ln1b, wqkv, bqkv, wproj, bproj, mask, seeds_op, thr, inv)
@@ -380,30 +387,30 @@ def _fwd_calls(x, flat, mask, seeds_op, thr, inv, *, num_heads, eps,
         compiler_params=_vmem(),
         interpret=interpret,
     )(y, ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, seeds_op, thr, inv)
-    return y, out, pre1
+    return y, qkv, out, pre1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _core(x, flat, mask, seeds_op, rates, num_heads, eps, block_b,
           interpret):
     thr, inv = rates
-    _y, out, _pre1 = _fwd_calls(x, flat, mask, seeds_op, thr, inv,
-                                num_heads=num_heads, eps=eps,
-                                block_b=block_b, interpret=interpret)
+    _y, _qkv, out, _pre1 = _fwd_calls(x, flat, mask, seeds_op, thr, inv,
+                                      num_heads=num_heads, eps=eps,
+                                      block_b=block_b, interpret=interpret)
     return out
 
 
 def _core_fwd(x, flat, mask, seeds_op, rates, num_heads, eps, block_b,
               interpret):
     thr, inv = rates
-    y, out, pre1 = _fwd_calls(x, flat, mask, seeds_op, thr, inv,
-                              num_heads=num_heads, eps=eps,
-                              block_b=block_b, interpret=interpret)
-    return out, (x, y, pre1, flat, mask, seeds_op, rates)
+    y, qkv, out, pre1 = _fwd_calls(x, flat, mask, seeds_op, thr, inv,
+                                   num_heads=num_heads, eps=eps,
+                                   block_b=block_b, interpret=interpret)
+    return out, (x, y, qkv, pre1, flat, mask, seeds_op, rates)
 
 
 def _core_bwd(num_heads, eps, block_b, interpret, res, dout):
-    x, y, pre1, flat, mask, seeds_op, (thr, inv) = res
+    x, y, qkv_stash, pre1, flat, mask, seeds_op, (thr, inv) = res
     B, T, C = x.shape
     dt = x.dtype
     (ln1g, ln1b, wqkv, bqkv, wproj, bproj,
@@ -454,8 +461,9 @@ def _core_bwd(num_heads, eps, block_b, interpret, res, dout):
                    jax.ShapeDtypeStruct((1, C), f32),
                    jax.ShapeDtypeStruct((1, C), f32)),
         grid=grid,
-        in_specs=[xs, xs, _const((1, C)), _const((1, C)),
-                  _const((C, 3 * C)), _const((1, 3 * C)), _const((C, C)),
+        in_specs=[xs, xs, _row_spec(block_b, T, 3 * C),
+                  _const((1, C)), _const((1, C)),
+                  _const((C, 3 * C)), _const((C, C)),
                   _const((T, T)), _smem(), _smem(), _smem()],
         out_specs=(xs, _row_spec(block_b, T, 3 * C),
                    _row_spec(block_b, T, C), _row_spec(block_b, T, C),
@@ -463,7 +471,7 @@ def _core_bwd(num_heads, eps, block_b, interpret, res, dout):
                    _acc_spec((1, C)), _acc_spec((1, C))),
         compiler_params=_vmem(),
         interpret=interpret,
-    )(x, dy, ln1g, ln1b, wqkv, bqkv, wproj, mask, seeds_op, thr, inv)
+    )(x, dy, qkv_stash, ln1g, ln1b, wqkv, wproj, mask, seeds_op, thr, inv)
 
     # dW/db matmuls on the exports — XLA runs these at near-peak MXU
     def mm_t(a, b):  # a^T @ b with fp32 accumulation

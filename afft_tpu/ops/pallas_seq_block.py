@@ -311,6 +311,13 @@ def fused_decoder_block(x, mem, params, mask=None, *, num_heads: int,
             _const((S, S)),
         ],
         out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * C * (8 * C + 2 * mlp_hidden)
+            + 8 * B * S * S * C,
+            bytes_accessed=3 * B * S * C * dt.itemsize
+            + (8 * C * C + 2 * C * mlp_hidden) * dt.itemsize,
+            transcendentals=2 * B * S * (num_heads * S + mlp_hidden),
+        ),
         compiler_params=_vmem(),
         interpret=interpret,
     )(x, mem,

@@ -87,7 +87,9 @@ class _AsyncSaver:
 
     def submit(self, path: Path, payload: dict, epoch):
         with self._cv:
-            self._raise_pending_error()
+            # queue BEFORE surfacing any earlier failure: a stale error
+            # must never drop the caller's new payload (whether it raced
+            # ahead of this submit is a thread-scheduling accident)
             if path not in self._pending:
                 self._order.append(path)
             self._pending[path] = (payload, epoch)
@@ -101,6 +103,7 @@ class _AsyncSaver:
                                                 daemon=True)
                 self._thread.start()
             self._cv.notify_all()
+            self._raise_pending_error()
 
     def _run(self):
         while True:

@@ -321,11 +321,23 @@ def test_async_checkpoint_error_does_not_strand_queue(tmp_path, monkeypatch):
     C.save_checkpoint(tmp_path / "bad", {"w": np.ones(2, np.float32)},
                       {"m": np.zeros(2)}, epoch=1, step=1, best_metric=0.0,
                       block=False)
-    C.save_checkpoint(tmp_path / "good", {"w": np.ones(2, np.float32)},
-                      {"m": np.zeros(2)}, epoch=2, step=2, best_metric=0.0,
-                      block=False)
-    with pytest.raises(RuntimeError, match="async checkpoint"):
+    # The failure surfaces at the NEXT interaction with the saver — which
+    # one depends on whether the writer thread has already attempted "bad"
+    # when the second submit runs. Either way the "good" payload must be
+    # queued (submit queues before re-raising stale errors) and wait()
+    # must terminate.
+    raised = []
+    try:
+        C.save_checkpoint(tmp_path / "good", {"w": np.ones(2, np.float32)},
+                          {"m": np.zeros(2)}, epoch=2, step=2,
+                          best_metric=0.0, block=False)
+    except RuntimeError as e:
+        raised.append(e)
+    try:
         C.wait_for_pending_saves()  # must terminate AND surface the error
+    except RuntimeError as e:
+        raised.append(e)
+    assert len(raised) == 1 and "async checkpoint" in str(raised[0])
     ckpt = C.load_checkpoint(tmp_path / "good")  # later save still landed
     assert int(ckpt["epoch"]) == 2
 

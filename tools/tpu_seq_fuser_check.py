@@ -2,12 +2,19 @@
 (ops/pallas_seq_block.py; VERDICT r2 next #4).
 
 Stages:
-  eq    — fused_seq_block / fused_decoder_block == XLA paths at flagship
-          ablation shapes (bf16 + fp32-highest)
-  serve — full eval forward clips/s for the expt-03 (T-SA) and expt-04
-          (CA) model shapes, Pallas vs AFFT_DISABLE_PALLAS=1
+  eq     — fused_seq_block / fused_decoder_block == XLA paths at flagship
+           ablation shapes (bf16 + fp32-highest)
+  serve  — full eval forward clips/s for the expt-03 (T-SA) and expt-04
+           (CA) model shapes, Pallas vs AFFT_DISABLE_PALLAS=1
+  kernel — ISOLATED fuser-stack speedup (Pallas kernels vs the jitted XLA
+           block path on the stack alone). The serve stage's ratio
+           conflates the seq kernels with every other Pallas kernel in the
+           model (its XLA side disables ALL of them) and dilutes them
+           behind the predictor/classifier; this is the per-kernel truth
+           (VERDICT r3 next #4: CA end-to-end read 1.06x, kernel-level it
+           is ~1.37x at expt-04 shapes).
 
-Usage: python tools/tpu_seq_fuser_check.py [eq|serve|all]
+Usage: python tools/tpu_seq_fuser_check.py [eq|serve|kernel|all]
 """
 
 import json
@@ -149,6 +156,96 @@ def check_serve():
     return results
 
 
+def _time_stack(fn, *args, iters=50):
+    from afft_tpu.utils.sync import force_device_sync as sync
+    for _ in range(3):
+        out = fn(*args)
+    sync(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
+def check_kernel():
+    """Isolated stack timings at the real expt shapes: T-SA = 6 Blocks over
+    (B, 4T, C) with the tiled causal mask; CA = 3 DecoderBlocks over
+    (B, T, C) with per-block memory streams. bf16, honest readback sync."""
+    import jax
+    import jax.numpy as jnp
+    from afft_tpu.models import blocks as BL
+    from afft_tpu.models import layers as L
+    from afft_tpu.ops.pallas_seq_block import (fused_decoder_block,
+                                               fused_seq_block)
+
+    C, H, dt = 1024, 4, jnp.bfloat16
+    results = {}
+
+    # T-SA: 6-block stack, S = 4 modalities x T
+    S = 4 * T
+    mask = jnp.tile(L.neg_inf_causal_mask(T), (4, 4))
+    ps = [jax.tree.map(lambda a: a.astype(dt),
+                       BL.block_init(jax.random.key(i), C, H))
+          for i in range(6)]
+    x = jax.random.normal(jax.random.key(9), (BATCH, S, C),
+                          jnp.float32).astype(dt)
+
+    @jax.jit
+    def tsa_xla(ps, x):
+        for p in ps:
+            x, _ = BL.block_apply(p, x, H, mask, train=False,
+                                  need_weights=False)
+        return x
+
+    def tsa_pallas(ps, x):
+        for p in ps:
+            x = fused_seq_block(x, p, mask, num_heads=H)
+        return x
+
+    ms_x, ms_p = _time_stack(tsa_xla, ps, x), _time_stack(tsa_pallas, ps, x)
+    results["T-SA"] = {"xla_ms": round(ms_x, 3), "pallas_ms": round(ms_p, 3),
+                       "speedup": round(ms_x / ms_p, 3)}
+    print(f"T-SA stack: xla {ms_x:.2f} ms, pallas {ms_p:.2f} ms "
+          f"({ms_x / ms_p:.2f}x)")
+
+    # CA: 3 decoder blocks (4 modalities - 1), mlp_ratio 4
+    cm = L.neg_inf_causal_mask(T)
+    pd = [jax.tree.map(lambda a: a.astype(dt),
+                       BL.decoder_block_init(jax.random.key(10 + i), C,
+                                             None, H))
+          for i in range(3)]
+    xq = jax.random.normal(jax.random.key(20), (BATCH, T, C),
+                           jnp.float32).astype(dt)
+    mems = [jax.random.normal(jax.random.key(21 + i), (BATCH, T, C),
+                              jnp.float32).astype(dt) for i in range(3)]
+
+    @jax.jit
+    def ca_xla(ps, x, mems):
+        for p, m in zip(ps, mems):
+            x = BL.decoder_block_apply(p, x, m, H, cm, train=False)
+        return x
+
+    def ca_pallas(ps, x, mems):
+        for p, m in zip(ps, mems):
+            x = fused_decoder_block(x, m, p, cm, num_heads=H)
+        return x
+
+    ms_x = _time_stack(ca_xla, pd, xq, mems)
+    ms_p = _time_stack(ca_pallas, pd, xq, mems)
+    results["CA"] = {"xla_ms": round(ms_x, 3), "pallas_ms": round(ms_p, 3),
+                     "speedup": round(ms_x / ms_p, 3)}
+    print(f"CA stack:   xla {ms_x:.2f} ms, pallas {ms_p:.2f} ms "
+          f"({ms_x / ms_p:.2f}x)")
+    print(json.dumps({"what": "isolated fuser-stack kernels, expt-03/04 "
+                              "shapes (B=256, bf16, device-resident)",
+                      **results}))
+    return results
+
+
 def main():
     import jax
     assert jax.default_backend() == "tpu"
@@ -157,6 +254,8 @@ def main():
         check_eq()
     if stage in ("serve", "all"):
         check_serve()
+    if stage in ("kernel", "all"):
+        check_kernel()
     print("DONE", stage)
 
 
