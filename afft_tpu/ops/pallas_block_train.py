@@ -551,6 +551,15 @@ def _fwd_call(x, flat, mask, seeds_op, thr, inv, *, num_heads, eps, block_r,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(x_spec, x_spec, qkv_spec, pre1_spec),
+        cost_estimate=pl.CostEstimate(
+            # qkv + proj + fc1 + fc2 matmuls over M=N*R tokens, plus the
+            # two (N x N)-per-row attention matmuls
+            flops=2 * N * R * C * (4 * C + 2 * mlp_hidden)
+            + 4 * N * N * R * C,
+            bytes_accessed=(N * R * (6 * C + mlp_hidden)
+                            + 4 * C * C + 2 * C * mlp_hidden) * dt.itemsize,
+            transcendentals=N * R * (num_heads * N + mlp_hidden),
+        ),
         compiler_params=_vmem_params(),
         interpret=interpret,
     )(x, *flat, mask, seeds_op, thr, inv)
@@ -598,6 +607,13 @@ def _bwd_mlp_call(y, dout, pre1, flat, seeds_op, thr, inv, *, num_heads,
         out_specs=(x_spec, _acc_spec((C, H)), _acc_spec((1, H)),
                    _acc_spec((H, C)), _acc_spec((1, C)),
                    _acc_spec((1, C)), _acc_spec((1, C)),),
+        cost_estimate=pl.CostEstimate(
+            # dh2 + dW2 + dW1 + dg matmuls (each 2*M*C*H) over M=N*R rows
+            flops=8 * N * R * C * H,
+            bytes_accessed=(N * R * (3 * C + H) + 2 * C * H) * dt.itemsize
+            + 2 * C * H * 4,
+            transcendentals=N * R * H,
+        ),
         compiler_params=_vmem_params(n_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(y, dout, pre1, ln2g, ln2b, wfc1, wfc2, seeds_op, thr, inv)
@@ -638,6 +654,14 @@ def _bwd_attn_call(x, dy, qkv, flat, mask, seeds_op, thr, inv, *, num_heads,
         out_specs=(x_spec, _acc_spec((C, 3 * C)), _acc_spec((1, 3 * C)),
                    _acc_spec((C, C)), _acc_spec((1, C)),
                    _acc_spec((1, C)), _acc_spec((1, C))),
+        cost_estimate=pl.CostEstimate(
+            # dproj (dx + dW), dqkv (dxn + dW) matmuls = 16*M*C^2, plus the
+            # ~3x-forward attention backward over N-length rows
+            flops=16 * N * R * C * C + 12 * N * N * R * C,
+            bytes_accessed=(N * R * 6 * C + 4 * C * C) * dt.itemsize
+            + 4 * C * C * 4,
+            transcendentals=N * R * num_heads * N,
+        ),
         compiler_params=_vmem_params(),
         interpret=interpret,
     )(x, dy, qkv, ln1g, ln1b, wqkv, wproj, mask, seeds_op, thr, inv)

@@ -371,6 +371,11 @@ def _fwd_calls(x, flat, mask, seeds_op, thr, inv, *, num_heads, eps,
                   _const((C, C)), _const((1, C)), _const((T, T)),
                   _smem(), _smem(), _smem()],
         out_specs=(xs, _row_spec(block_b, T, 3 * C)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * C * 4 * C + 4 * B * T * T * C,
+            bytes_accessed=(B * T * 5 * C + 4 * C * C) * dt.itemsize,
+            transcendentals=B * num_heads * T * T,
+        ),
         compiler_params=_vmem(),
         interpret=interpret,
     )(x, ln1g, ln1b, wqkv, bqkv, wproj, bproj, mask, seeds_op, thr, inv)
@@ -384,6 +389,12 @@ def _fwd_calls(x, flat, mask, seeds_op, thr, inv, *, num_heads, eps,
                   _const((Hmlp, C)), _const((1, C)),
                   _smem(), _smem(), _smem()],
         out_specs=(xs, _row_spec(block_b, T, Hmlp)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * T * C * Hmlp,
+            bytes_accessed=(B * T * (2 * C + Hmlp)
+                            + 2 * C * Hmlp) * dt.itemsize,
+            transcendentals=B * T * Hmlp,
+        ),
         compiler_params=_vmem(),
         interpret=interpret,
     )(y, ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, seeds_op, thr, inv)
@@ -430,6 +441,12 @@ def _core_bwd(num_heads, eps, block_b, interpret, res, dout):
                   _smem(), _smem(), _smem()],
         out_specs=(_row_spec(block_b, T, C), _row_spec(block_b, T, Hmlp),
                    _row_spec(block_b, T, Hmlp)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * C * Hmlp,
+            bytes_accessed=(B * T * (2 * C + 3 * Hmlp)
+                            + C * Hmlp) * dt.itemsize,
+            transcendentals=B * T * Hmlp,
+        ),
         compiler_params=_vmem(),
         interpret=interpret,
     )(dout, pre1, wfc2, seeds_op, thr, inv)
@@ -445,6 +462,12 @@ def _core_bwd(num_heads, eps, block_b, interpret, res, dout):
                   _const((1, C)), _const((1, C)), _const((C, Hmlp))],
         out_specs=(xs, _row_spec(block_b, T, C),
                    _acc_spec((1, C)), _acc_spec((1, C))),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * C * Hmlp,
+            bytes_accessed=(B * T * (4 * C + Hmlp)
+                            + C * Hmlp) * dt.itemsize,
+            transcendentals=0,
+        ),
         compiler_params=_vmem(),
         interpret=interpret,
     )(y, dout, dpre1, ln2g, ln2b, wfc1)
@@ -469,6 +492,12 @@ def _core_bwd(num_heads, eps, block_b, interpret, res, dout):
                    _row_spec(block_b, T, C), _row_spec(block_b, T, C),
                    _row_spec(block_b, T, C),
                    _acc_spec((1, C)), _acc_spec((1, C))),
+        cost_estimate=pl.CostEstimate(
+            # dproj + dxn matmuls (8*M*C^2) + ~3x-forward attention bwd
+            flops=8 * B * T * C * C + 12 * B * T * T * C,
+            bytes_accessed=(B * T * 12 * C + 4 * C * C) * dt.itemsize,
+            transcendentals=B * num_heads * T * T,
+        ),
         compiler_params=_vmem(),
         interpret=interpret,
     )(x, dy, qkv_stash, ln1g, ln1b, wqkv, wproj, mask, seeds_op, thr, inv)
