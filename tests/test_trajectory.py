@@ -48,12 +48,42 @@ LOSS_WTS = {"cls_action": 1.0, "cls_verb": 1.0, "cls_noun": 1.0,
             "past_cls_action": 1.0, "past_cls_verb": 1.0,
             "past_cls_noun": 1.0, "past_reg": 1.0}
 
-FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
-                       "train_trajectory.npz")
+def _fixture_path(variant):
+    name = ("train_trajectory.npz" if variant == "early"
+            else f"train_trajectory_{variant}.npz")
+    return os.path.join(os.path.dirname(__file__), "fixtures", name)
 
 
-def _model_cfg():
+def _model_cfg(variant="early"):
     """Mirror of tools/export_train_trajectory.py:model_cfg (dropouts 0)."""
+    if variant == "matt":
+        # expts/05_MATT composition: CMFPScoreFusion + MATT, per-modality
+        # predictors/classifiers, no fusion token
+        return {
+            "modal_dims": dict(DIMS),
+            "modal_feature_order": ["rgb", "objects", "audio", "poses",
+                                    "flow"],
+            "dropout": 0.0,
+            "common": {
+                "in_features": 48, "fp_inter_dim": 64, "fp_output_len": 1,
+                "share_classifiers": False, "share_predictors": False,
+                "modality_cls": True, "fusion_cls": False,
+                "backbones": {m: {"_target_": "torch.nn.Identity"}
+                              for m in MODS},
+            },
+            "mapping": {"_target_": "models.feature_mapping.Linear",
+                        "use_layernorm": False, "sparse_mapping": True},
+            "fuser": {"_target_": "models.fusion.MATT",
+                      "modal_dims": dict(DIMS), "dim": 48,
+                      "drop_rate": 0.0},
+            "future_predictor": {
+                "_target_": "models.future_prediction.BaseFuturePredictor",
+                "in_features": 48, "inter_dim": 64, "n_layer": 2,
+                "n_head": 2, "embd_pdrop": 0.0, "resid_pdrop": 0.0,
+                "attn_pdrop": 0.0, "output_attentions": False},
+            "CMFP": {"_target_": "models.future_prediction.CMFPScoreFusion",
+                     "model_cfg": None},
+        }
     return {
         "modal_dims": dict(DIMS),
         "modal_feature_order": ["rgb", "objects", "audio", "poses", "flow"],
@@ -101,17 +131,26 @@ def _batches(d, tag, n, lam=None):
     return out
 
 
-@pytest.fixture(scope="module")
-def trajectory():
+@pytest.fixture(scope="module", params=["early", "matt"])
+def trajectory(request):
     """Replay the fixture's batches through afft_tpu's loop; return both
-    the reference records and the afft records."""
-    if not os.path.exists(FIXTURE):
-        pytest.skip("train_trajectory.npz missing; "
+    the reference records and the afft records. Two reference
+    compositions: ``early`` (expt-01/02: CMFPEarly + ModalTokenCMFuser,
+    shared heads, plain SGD) and ``matt`` (expt-05: CMFPScoreFusion +
+    MATT, per-modality heads, nesterov, past_cls_action weight 0)."""
+    variant = request.param
+    path = _fixture_path(variant)
+    if not os.path.exists(path):
+        pytest.skip(f"{os.path.basename(path)} missing; "
                     "run tools/export_train_trajectory.py")
-    d = np.load(FIXTURE)
+    d = np.load(path)
     assert list(d["meta"]) == [B, T, EPOCHS, ITERS, VAL_ITERS]
+    nesterov = variant == "matt"
+    loss_wts = dict(LOSS_WTS)
+    if variant == "matt":
+        loss_wts["past_cls_action"] = 0.0
 
-    model = BaseModel(_model_cfg(), num_classes=NUM_CLASSES,
+    model = BaseModel(_model_cfg(variant), num_classes=NUM_CLASSES,
                       class_mappings={})
     sd0 = {k[5:]: d[k] for k in d.files if k.startswith("sd0::")}
     params = TI.import_base_model(model, sd0)
@@ -122,7 +161,7 @@ def trajectory():
     assert group_lrs == {0.01, LR}, \
         f"lr_wd prefix rule failed to split groups: {group_lrs}"
 
-    optimizer = O.sgd(momentum=0.9, nesterov=False)
+    optimizer = O.sgd(momentum=0.9, nesterov=nesterov)
     opt_state = optimizer.init(params, groups)
     lr_schedule = O.warmup_wrap(
         O.cosine_schedule(EPOCHS, ITERS, world_size=1, eta_min=1e-6),
@@ -131,7 +170,7 @@ def trajectory():
                   label_smoothing={"action": 0.4, "verb": 0.01,
                                    "noun": 0.03},
                   num_classes=NUM_CLASSES)
-    runner = Runner(model, optimizer, groups, loss_wts=dict(LOSS_WTS),
+    runner = Runner(model, optimizer, groups, loss_wts=loss_wts,
                     mixup=mixup, mixup_backbone=True, grad_clip=1.0)
 
     iter_losses, lr_trace = [], []

@@ -22,7 +22,15 @@ imported initial weights and asserts per-iteration and end-state agreement.
 This is the one test that exercises the whole train stack COMPOSED, not
 module-by-module.
 
-Usage: python tools/export_train_trajectory.py [outdir]
+Two variants (both exported by default):
+
+  * ``early`` — CMFPEarly + ModalTokenCMFuser, shared predictor/classifier,
+    fusion_cls, plain SGD (the expt-01/02 composition).
+  * ``matt`` — CMFPScoreFusion + MATT, per-modality predictors and
+    classifiers, modality_cls, nesterov SGD, past_cls_action weight 0
+    (the expt-05 composition, reference expts/05_MATT_ek100_train.txt).
+
+Usage: python tools/export_train_trajectory.py [outdir] [early|matt|all]
 """
 
 import sys
@@ -35,7 +43,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from export_fixtures import install_stubs  # noqa: E402
 
 REFERENCE = "/root/reference"
-OUTDIR = Path(sys.argv[1] if len(sys.argv) > 1 else "tests/fixtures")
+_args = [a for a in sys.argv[1:]]
+VARIANTS = ("early", "matt") if not [a for a in _args if a in (
+    "early", "matt")] else tuple(a for a in _args if a in ("early", "matt"))
+_dirs = [a for a in _args if a not in ("early", "matt", "all")]
+OUTDIR = Path(_dirs[0] if _dirs else "tests/fixtures")
 
 # trajectory shape
 B, T = 6, 6
@@ -53,8 +65,34 @@ LOSS_WTS = {"cls_action": 1.0, "cls_verb": 1.0, "cls_noun": 1.0,
             "past_cls_noun": 1.0, "past_reg": 1.0}
 
 
-def model_cfg(DictConfig):
-    """Small CMFPEarly stack, every dropout 0 (determinism)."""
+def model_cfg(DictConfig, variant="early"):
+    """Small CMFP stack, every dropout 0 (determinism)."""
+    if variant == "matt":
+        return DictConfig({
+            "modal_dims": DictConfig(dict(DIMS)),
+            "modal_feature_order": ["rgb", "objects", "audio", "poses",
+                                    "flow"],
+            "dropout": 0.0,
+            "common": DictConfig({
+                "in_features": 48, "fp_inter_dim": 64, "fp_output_len": 1,
+                "share_classifiers": False, "share_predictors": False,
+                "modality_cls": True, "fusion_cls": False,
+                "backbones": DictConfig({
+                    m: {"_target_": "torch.nn.Identity"} for m in MODS}),
+            }),
+            "mapping": {"_target_": "models.feature_mapping.Linear",
+                        "use_layernorm": False, "sparse_mapping": True},
+            "fuser": {"_target_": "models.fusion.MATT",
+                      "modal_dims": dict(DIMS), "dim": 48,
+                      "drop_rate": 0.0},
+            "future_predictor": {
+                "_target_": "models.future_prediction.BaseFuturePredictor",
+                "in_features": 48, "inter_dim": 64, "n_layer": 2,
+                "n_head": 2, "embd_pdrop": 0.0, "resid_pdrop": 0.0,
+                "attn_pdrop": 0.0, "output_attentions": False},
+            "CMFP": {"_target_": "models.future_prediction.CMFPScoreFusion",
+                     "model_cfg": None},
+        })
     return DictConfig({
         "modal_dims": DictConfig(dict(DIMS)),
         "modal_feature_order": ["rgb", "objects", "audio", "poses", "flow"],
@@ -159,12 +197,7 @@ def install_train_stubs():
     hydra.main = lambda **kw: (lambda fn: fn)
 
 
-def main():
-    install_stubs()
-    install_train_stubs()
-    sys.path.insert(0, REFERENCE)
-    torch.manual_seed(0)
-
+def run_variant(variant):
     from omegaconf import DictConfig
     from models.base_model import BaseModel
     from common.runner import Runner
@@ -173,16 +206,21 @@ def main():
     from common import scheduler as ref_sched
     import train as ref_train
 
+    nesterov = variant == "matt"          # expts/05_MATT: nesterov=true
+    loss_wts = dict(LOSS_WTS)
+    if variant == "matt":                 # train.loss_wts.past_cls_action=0
+        loss_wts["past_cls_action"] = 0.0
+
     torch.manual_seed(123)
-    model = BaseModel(model_cfg(DictConfig), num_classes=NUM_CLASSES,
-                      class_mappings={})
+    model = BaseModel(model_cfg(DictConfig, variant),
+                      num_classes=NUM_CLASSES, class_mappings={})
     sd0 = {k: v.detach().clone() for k, v in model.state_dict().items()}
 
     # the reference's real param-group construction (train.py:336-338,352)
     lr_wd = [["future_predictor.fuser", FUSER_LR, FUSER_WD]]
     param_groups = ref_train.prepare_params(model, lr_wd, LR, WD)
     optimizer = torch.optim.SGD(param_groups, lr=LR, momentum=0.9,
-                                nesterov=False, weight_decay=WD)
+                                nesterov=nesterov, weight_decay=WD)
     main_sched = ref_sched.CosineLR(optimizer, num_epochs=EPOCHS,
                                     eta_min=1e-6, iters_per_epoch=ITERS,
                                     world_size=1)
@@ -239,7 +277,7 @@ def main():
     torch.nn.utils.clip_grad_norm_ = clip_and_record
 
     runner = RecordingRunner(
-        Runner(model, "cpu", loss_wts=dict(LOSS_WTS)), optimizer,
+        Runner(model, "cpu", loss_wts=loss_wts), optimizer,
         {"fuser": "future_predictor.fuser.", "rest": "future_predictor.dim_encoder."})
     tracker = MetricTracker(NUM_CLASSES)
 
@@ -284,7 +322,7 @@ def main():
                 if v is not None:
                     ep[name] = float(v)
         epoch_metrics.append(ep)
-        print(f"epoch {epoch}: train loss "
+        print(f"[{variant}] epoch {epoch}: train loss "
               f"{ep.get('train_total_loss'):.4f} val loss "
               f"{ep.get('val_total_loss'):.4f} val mt5r "
               f"{ep.get('val_mt5r_action_all-fused')}")
@@ -325,10 +363,21 @@ def main():
             payload[f"ep{e}::{name}"] = np.float64(v)
     payload["meta"] = np.asarray([B, T, EPOCHS, ITERS, VAL_ITERS])
 
+    fname = ("train_trajectory.npz" if variant == "early"
+             else f"train_trajectory_{variant}.npz")
     OUTDIR.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(OUTDIR / "train_trajectory.npz", **payload)
-    print(f"saved train_trajectory.npz: {len(payload)} arrays, "
-          f"{(OUTDIR / 'train_trajectory.npz').stat().st_size/1e6:.2f} MB")
+    np.savez_compressed(OUTDIR / fname, **payload)
+    print(f"saved {fname}: {len(payload)} arrays, "
+          f"{(OUTDIR / fname).stat().st_size/1e6:.2f} MB")
+
+
+def main():
+    install_stubs()
+    install_train_stubs()
+    sys.path.insert(0, REFERENCE)
+    for variant in VARIANTS:
+        torch.manual_seed(0)
+        run_variant(variant)
 
 
 if __name__ == "__main__":
