@@ -137,10 +137,10 @@ def main(cfg: Config):
     # dir silently degrades the unseen/tail breakdowns to NaN
     # (challenge.epic100_unseen_tail_eval); name the kwarg up front
     from ..data.epic import EPIC100_VERSION
+    df = getattr(dataset_test, "df", None)
     if (getattr(dataset_test, "version", None) == EPIC100_VERSION
             and getattr(dataset_test, "rulstm_annotation_dir", None) is None
-            and "action_class" in getattr(dataset_test, "df",
-                                          {"columns": ()}).columns):
+            and df is not None and "action_class" in df.columns):
         log.warning(
             "EK100 val eval without rulstm_annotation_dir (config key "
             "dataset.epic_kitchens100.common.rulstm_annot_dir): "
