@@ -56,6 +56,30 @@ def _fixture_path(variant):
 
 def _model_cfg(variant="early"):
     """Mirror of tools/export_train_trajectory.py:model_cfg (dropouts 0)."""
+    if variant == "individual":
+        # expt-00: single rgb modality, IndividualFuturePrediction — no
+        # mapping/fuser config keys (the reference skips both via
+        # instantiate=False, future_prediction.py:196-199)
+        return {
+            "modal_dims": {"rgb": DIMS["rgb"]},
+            "modal_feature_order": ["rgb", "objects", "audio", "poses",
+                                    "flow"],
+            "dropout": 0.0,
+            "common": {
+                "in_features": 48, "fp_inter_dim": 64, "fp_output_len": 1,
+                "share_classifiers": False, "share_predictors": False,
+                "modality_cls": True, "fusion_cls": False,
+                "backbones": {"rgb": {"_target_": "torch.nn.Identity"}},
+            },
+            "future_predictor": {
+                "_target_": "models.future_prediction.BaseFuturePredictor",
+                "in_features": 48, "inter_dim": 64, "n_layer": 2,
+                "n_head": 2, "embd_pdrop": 0.0, "resid_pdrop": 0.0,
+                "attn_pdrop": 0.0, "output_attentions": False},
+            "CMFP": {"_target_":
+                     "models.future_prediction.IndividualFuturePrediction",
+                     "model_cfg": None},
+        }
     if variant == "matt":
         # expts/05_MATT composition: CMFPScoreFusion + MATT, per-modality
         # predictors/classifiers, no fusion token
@@ -111,12 +135,12 @@ def _model_cfg(variant="early"):
     }
 
 
-def _batches(d, tag, n, lam=None):
+def _batches(d, tag, n, lam=None, mods=MODS):
     out = []
     for i in range(n):
         p = f"{tag}{i}::"
         batch = {
-            "data_dict": {m: d[p + f"data::{m}"] for m in MODS},
+            "data_dict": {m: d[p + f"data::{m}"] for m in mods},
             "target": {t: d[p + f"target::{t}"] for t in NUM_CLASSES},
             "target_subclips": {t: d[p + f"sub::{t}"] for t in NUM_CLASSES},
             "valid": np.ones((B,), bool),
@@ -131,13 +155,16 @@ def _batches(d, tag, n, lam=None):
     return out
 
 
-@pytest.fixture(scope="module", params=["early", "matt"])
+@pytest.fixture(scope="module", params=["early", "matt", "individual"])
 def trajectory(request):
     """Replay the fixture's batches through afft_tpu's loop; return both
-    the reference records and the afft records. Two reference
+    the reference records and the afft records. Three reference
     compositions: ``early`` (expt-01/02: CMFPEarly + ModalTokenCMFuser,
-    shared heads, plain SGD) and ``matt`` (expt-05: CMFPScoreFusion +
-    MATT, per-modality heads, nesterov, past_cls_action weight 0)."""
+    shared heads, plain SGD), ``matt`` (expt-05: CMFPScoreFusion +
+    MATT, per-modality heads, nesterov, past_cls_action weight 0) and
+    ``individual`` (expt-00: single-rgb IndividualFuturePrediction,
+    lr_wd=null single group, nesterov, cosine T_max < total steps so the
+    zero-lr tail branch runs through the loop)."""
     variant = request.param
     path = _fixture_path(variant)
     if not os.path.exists(path):
@@ -145,7 +172,8 @@ def trajectory(request):
                     "run tools/export_train_trajectory.py")
     d = np.load(path)
     assert list(d["meta"]) == [B, T, EPOCHS, ITERS, VAL_ITERS]
-    nesterov = variant == "matt"
+    nesterov = variant in ("matt", "individual")
+    mods = ["rgb"] if variant == "individual" else MODS
     loss_wts = dict(LOSS_WTS)
     if variant == "matt":
         loss_wts["past_cls_action"] = 0.0
@@ -155,16 +183,23 @@ def trajectory(request):
     sd0 = {k[5:]: d[k] for k in d.files if k.startswith("sd0::")}
     params = TI.import_base_model(model, sd0)
 
-    groups = O.build_group_tree(
-        params, [["future_predictor.fuser", 0.01, 0.0]], LR, WD)
-    group_lrs = {g.lr for g in jax.tree.leaves(groups)}
-    assert group_lrs == {0.01, LR}, \
-        f"lr_wd prefix rule failed to split groups: {group_lrs}"
+    if variant == "individual":
+        # expt-00's opt.lr_wd=null: one overall group (train.py:196-199)
+        groups = O.build_group_tree(params, None, LR, WD)
+        group_lrs = {g.lr for g in jax.tree.leaves(groups)}
+        assert group_lrs == {LR}, f"lr_wd=None must be one group: {group_lrs}"
+    else:
+        groups = O.build_group_tree(
+            params, [["future_predictor.fuser", 0.01, 0.0]], LR, WD)
+        group_lrs = {g.lr for g in jax.tree.leaves(groups)}
+        assert group_lrs == {0.01, LR}, \
+            f"lr_wd prefix rule failed to split groups: {group_lrs}"
 
+    cos_epochs = 2 if variant == "individual" else EPOCHS
     optimizer = O.sgd(momentum=0.9, nesterov=nesterov)
     opt_state = optimizer.init(params, groups)
     lr_schedule = O.warmup_wrap(
-        O.cosine_schedule(EPOCHS, ITERS, world_size=1, eta_min=1e-6),
+        O.cosine_schedule(cos_epochs, ITERS, world_size=1, eta_min=1e-6),
         init_lr_ratio=0.01, num_epochs=1, iters_per_epoch=ITERS)
     mixup = MixUp(alpha=0.1,
                   label_smoothing={"action": 0.4, "verb": 0.01,
@@ -186,8 +221,8 @@ def trajectory(request):
     runner.train_step = recording_step
 
     lam = d["lam"]
-    train_batches = _batches(d, "batch", EPOCHS * ITERS, lam=lam)
-    val_batches = _batches(d, "val", VAL_ITERS)
+    train_batches = _batches(d, "batch", EPOCHS * ITERS, lam=lam, mods=mods)
+    val_batches = _batches(d, "val", VAL_ITERS, mods=mods)
 
     mesh = make_mesh(jax.devices()[:1])
     tracker = MetricTracker(NUM_CLASSES)
@@ -227,6 +262,13 @@ def test_lr_trace_matches(trajectory):
     d = trajectory["d"]
     np.testing.assert_allclose(trajectory["lr_trace"], d["lr::rest"],
                                rtol=1e-6, atol=1e-9)
+    if (d["lr::rest"] == 0.0).any():
+        # individual leg: cosine T_max < total steps — the reference's
+        # past-T_max zero-lr branch (common/scheduler.py:70-75) must have
+        # been reproduced exactly, not just within tolerance
+        zero = d["lr::rest"] == 0.0
+        got = np.asarray(trajectory["lr_trace"])
+        assert (got[zero] == 0.0).all(), "zero-lr tail not exactly zero"
 
 
 def test_per_iteration_losses_match(trajectory):

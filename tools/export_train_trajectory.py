@@ -29,8 +29,17 @@ Two variants (both exported by default):
   * ``matt`` — CMFPScoreFusion + MATT, per-modality predictors and
     classifiers, modality_cls, nesterov SGD, past_cls_action weight 0
     (the expt-05 composition, reference expts/05_MATT_ek100_train.txt).
+  * ``individual`` — IndividualFuturePrediction on a SINGLE rgb modality
+    (no fuser, no mapping), per-modality heads, nesterov SGD with the
+    `opt.lr_wd=null` single-group path (prepare_params :196-199), and a
+    cosine horizon SHORTER than training (scheduler.num_epochs=2 vs 3
+    epochs) so the reference CosineLR's past-T_max zero-lr branch
+    (common/scheduler.py:70-75) runs through the real loop — the expt-00
+    composition, reference expts/00_RGB_TSN_ek100_train.txt (warmup 20 <
+    scheduler 30 < train 50 epochs there).
 
-Usage: python tools/export_train_trajectory.py [outdir] [early|matt|all]
+Usage: python tools/export_train_trajectory.py [outdir]
+       [early|matt|individual ...]
 """
 
 import sys
@@ -43,10 +52,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from export_fixtures import install_stubs  # noqa: E402
 
 REFERENCE = "/root/reference"
+ALL_VARIANTS = ("early", "matt", "individual")
 _args = [a for a in sys.argv[1:]]
-VARIANTS = ("early", "matt") if not [a for a in _args if a in (
-    "early", "matt")] else tuple(a for a in _args if a in ("early", "matt"))
-_dirs = [a for a in _args if a not in ("early", "matt", "all")]
+VARIANTS = tuple(a for a in _args if a in ALL_VARIANTS) or ALL_VARIANTS
+_dirs = [a for a in _args if a not in ALL_VARIANTS + ("all",)]
 OUTDIR = Path(_dirs[0] if _dirs else "tests/fixtures")
 
 # trajectory shape
@@ -67,6 +76,32 @@ LOSS_WTS = {"cls_action": 1.0, "cls_verb": 1.0, "cls_noun": 1.0,
 
 def model_cfg(DictConfig, variant="early"):
     """Small CMFP stack, every dropout 0 (determinism)."""
+    if variant == "individual":
+        # expt-00: single rgb modality, IndividualFuturePrediction — no
+        # mapping/fuser keys AT ALL (instantiate=False skips them,
+        # future_prediction.py:196-199); rgb dim 48 != fp_inter_dim 64 so
+        # the per-modality dim codec is a real Linear, not Identity
+        return DictConfig({
+            "modal_dims": DictConfig({"rgb": DIMS["rgb"]}),
+            "modal_feature_order": ["rgb", "objects", "audio", "poses",
+                                    "flow"],
+            "dropout": 0.0,
+            "common": DictConfig({
+                "in_features": 48, "fp_inter_dim": 64, "fp_output_len": 1,
+                "share_classifiers": False, "share_predictors": False,
+                "modality_cls": True, "fusion_cls": False,
+                "backbones": DictConfig(
+                    {"rgb": {"_target_": "torch.nn.Identity"}}),
+            }),
+            "future_predictor": {
+                "_target_": "models.future_prediction.BaseFuturePredictor",
+                "in_features": 48, "inter_dim": 64, "n_layer": 2,
+                "n_head": 2, "embd_pdrop": 0.0, "resid_pdrop": 0.0,
+                "attn_pdrop": 0.0, "output_attentions": False},
+            "CMFP": {"_target_":
+                     "models.future_prediction.IndividualFuturePrediction",
+                     "model_cfg": None},
+        })
     if variant == "matt":
         return DictConfig({
             "modal_dims": DictConfig(dict(DIMS)),
@@ -120,15 +155,16 @@ def model_cfg(DictConfig, variant="early"):
     })
 
 
-def make_batches(n, seed, tag):
+def make_batches(n, seed, tag, mods=None):
     """Synthetic batches in the collated BaseVideoDataset output layout the
     reference Runner consumes (common/runner.py:226-236): 6D features, target
     dict, (B,T,1) subclip labels with -1 ignores shared across targets."""
+    mods = MODS if mods is None else mods
     g = torch.Generator().manual_seed(seed)
     batches = []
     for i in range(n):
         data_dict = {m: torch.randn(B, T, DIMS[m], 1, 1, 1, generator=g)
-                     for m in MODS}
+                     for m in mods}
         target = {t: torch.randint(0, c, (B,), generator=g)
                   for t, c in NUM_CLASSES.items()}
         sub = {t: torch.randint(0, c, (B, T, 1), generator=g)
@@ -206,7 +242,9 @@ def run_variant(variant):
     from common import scheduler as ref_sched
     import train as ref_train
 
-    nesterov = variant == "matt"          # expts/05_MATT: nesterov=true
+    # expts/05_MATT + expts/00_RGB_TSN: opt.optimizer.nesterov=true
+    nesterov = variant in ("matt", "individual")
+    mods = ["rgb"] if variant == "individual" else MODS
     loss_wts = dict(LOSS_WTS)
     if variant == "matt":                 # train.loss_wts.past_cls_action=0
         loss_wts["past_cls_action"] = 0.0
@@ -216,12 +254,17 @@ def run_variant(variant):
                       num_classes=NUM_CLASSES, class_mappings={})
     sd0 = {k: v.detach().clone() for k, v in model.state_dict().items()}
 
-    # the reference's real param-group construction (train.py:336-338,352)
-    lr_wd = [["future_predictor.fuser", FUSER_LR, FUSER_WD]]
+    # the reference's real param-group construction (train.py:336-338,352);
+    # individual = expt-00's opt.lr_wd=null single-group path (:196-199)
+    lr_wd = None if variant == "individual" else \
+        [["future_predictor.fuser", FUSER_LR, FUSER_WD]]
     param_groups = ref_train.prepare_params(model, lr_wd, LR, WD)
     optimizer = torch.optim.SGD(param_groups, lr=LR, momentum=0.9,
                                 nesterov=nesterov, weight_decay=WD)
-    main_sched = ref_sched.CosineLR(optimizer, num_epochs=EPOCHS,
+    # individual: cosine horizon shorter than training (expt-00 pattern) —
+    # the trailing iterations run the past-T_max zero-lr branch
+    cos_epochs = 2 if variant == "individual" else EPOCHS
+    main_sched = ref_sched.CosineLR(optimizer, num_epochs=cos_epochs,
                                     eta_min=1e-6, iters_per_epoch=ITERS,
                                     world_size=1)
     lr_scheduler = ref_sched.Warmup(optimizer, main_sched, init_lr_ratio=0.01,
@@ -248,8 +291,9 @@ def run_variant(variant):
 
     mixup_fn.mixup_beta_sampler = Sampler()
 
-    train_batches = make_batches(EPOCHS * ITERS, seed=1000, tag="train")
-    val_batches = make_batches(VAL_ITERS, seed=2000, tag="val")
+    train_batches = make_batches(EPOCHS * ITERS, seed=1000, tag="train",
+                                 mods=mods)
+    val_batches = make_batches(VAL_ITERS, seed=2000, tag="val", mods=mods)
 
     # debugging probes: post-step param snapshots for the first steps and
     # the pre-clip global grad norm per iteration (clip_grad_norm_ returns
@@ -276,9 +320,11 @@ def run_variant(variant):
 
     torch.nn.utils.clip_grad_norm_ = clip_and_record
 
+    lr_names = {"rest": "future_predictor.dim_encoder."}
+    if variant != "individual":           # individual has no fuser module
+        lr_names["fuser"] = "future_predictor.fuser."
     runner = RecordingRunner(
-        Runner(model, "cpu", loss_wts=loss_wts), optimizer,
-        {"fuser": "future_predictor.fuser.", "rest": "future_predictor.dim_encoder."})
+        Runner(model, "cpu", loss_wts=loss_wts), optimizer, lr_names)
     tracker = MetricTracker(NUM_CLASSES)
 
     lam_used, epoch_metrics = [], []
@@ -356,8 +402,8 @@ def run_variant(variant):
     for key in loss_keys:
         payload[f"iter::{key}"] = np.asarray(
             [r.get(key, np.nan) for r in runner.records], np.float64)
-    payload["lr::fuser"] = np.asarray(runner.lrs["fuser"], np.float64)
-    payload["lr::rest"] = np.asarray(runner.lrs["rest"], np.float64)
+    for probe, trace in runner.lrs.items():
+        payload[f"lr::{probe}"] = np.asarray(trace, np.float64)
     for e, ep in enumerate(epoch_metrics):
         for name, v in ep.items():
             payload[f"ep{e}::{name}"] = np.float64(v)
