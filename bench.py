@@ -11,10 +11,20 @@ the PyTorch reference model executing the same forward on CPU fp32
 baseline"); its number is cached in .bench_torch_cpu.json after first
 measurement.
 
-Prints ONE JSON line:
+Wedge/timeout hardening (VERDICT r4 next #1): the bench runs as an ordered
+list of LEGS under a wall-clock budget (env ``AFFT_BENCH_BUDGET_S``, default
+1800 s). After EVERY completed leg it reprints the full cumulative JSON line
+— headline (`bench_end_to_end`) first — so a kill at any point still leaves
+a parseable last line. A persistent XLA compilation cache (``.jax_cache``)
+makes the 117-185 s train-leg compiles a once-per-image cost, and optional
+legs (B=256 train, combined B=256+bf16-masters, int8 cache) are dropped
+before the budget expires rather than blowing through it. A leg that raises
+records ``error_<leg>`` and the remaining legs still run.
+
+The LAST printed JSON line is the artifact:
   {"metric": "EK100 val clips/sec/chip", "value": N, "unit": "clips/s",
    "vs_baseline": ratio, ..., "egtea_clips_per_sec": N,
-   "train_ms_per_step": N}
+   "train_ms_per_step": N, "legs_done": [...], "legs_skipped": [...]}
 """
 
 import json
@@ -125,7 +135,7 @@ def _flagship_model_bf16():
     return model, params
 
 
-def bench_end_to_end(n_epochs=3):
+def bench_end_to_end(n_epochs=3, cache_dtype=None):
     """Full pipeline: annotations -> clip plan -> threaded loader (bf16
     packed gathers) -> host->device staging -> jitted forward."""
     import jax
@@ -140,11 +150,12 @@ def bench_end_to_end(n_epochs=3):
     # the tunneled link). The one-time upload is amortized over the epochs
     # an evaluation/training run makes.
     from afft_tpu.data.device_cache import DeviceFeatureCache
-    # AFFT_BENCH_INT8=1 measures the quantized-cache serving path
-    # (data_on_device_dtype=int8): halved HBM footprint, dequant fused
-    # into the gather. Default stays bf16 (the driver-recorded number).
-    cache = DeviceFeatureCache(
-        ds, dtype="int8" if os.environ.get("AFFT_BENCH_INT8") else None)
+    # cache_dtype="int8" (or AFFT_BENCH_INT8=1) measures the quantized-cache
+    # serving path (data_on_device_dtype=int8): halved HBM footprint, dequant
+    # fused into the gather. Default stays bf16 (the driver-recorded number).
+    if cache_dtype is None and os.environ.get("AFFT_BENCH_INT8"):
+        cache_dtype = "int8"
+    cache = DeviceFeatureCache(ds, dtype=cache_dtype)
 
     @jax.jit
     def fwd(p, table, idx):
@@ -365,14 +376,18 @@ def bench_egtea(n_warmup=3, n_iters=20, batch=256):
     return best
 
 
-def bench_train(batch=64, steps=30):
+def bench_train(batch=64, steps=30, master_dtype="float32"):
     """Flagship mixed-precision train step (fused Pallas train kernels),
     synthetic EK100-shaped batches; returns ms/step.
 
-    The driver-recorded train metric reports BOTH B=64 (the reference's
-    per-GPU batch, expts/02) and the B=256 amortized operating point
-    (TRAIN_SCALE_r03: larger batches amortize the fixed fp32-master
-    optimizer HBM floor over 4x the clips)."""
+    The driver-recorded train metric reports B=64 (the reference's per-GPU
+    batch, expts/02) with fp32 masters (the reference-semantics default,
+    see DESIGN.md "bf16-master default decision"), the B=256 amortized
+    operating point (TRAIN_SCALE_r03: larger batches amortize the fixed
+    fp32-master optimizer HBM floor over 4x the clips), and the combined
+    best operating point B=256 + bf16 masters (``train.master_dtype=
+    bfloat16``: bf16 master weights + bf16 momentum, stochastic-rounded
+    updates — VERDICT r4 next #2)."""
     import jax
     import jax.numpy as jnp
     from afft_tpu.config import compose
@@ -388,14 +403,19 @@ def bench_train(batch=64, steps=30):
     ])
     model = BaseModel(cfg.model, num_classes={"action": N_CLASSES})
     params = model.init(jax.random.key(0))
+    low = master_dtype == "bfloat16"
+    if low:
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     groups = O.build_group_tree(params, None, 1e-3, 1e-6)
-    opt = O.sgd(momentum=0.9, nesterov=True)
+    opt = O.sgd(momentum=0.9, nesterov=True,
+                state_dtype="bfloat16" if low else None)
     mixup = MixUp(alpha=0.1, label_smoothing={"action": 0.0},
                   num_classes={"action": N_CLASSES})
     runner = Runner(model, opt, groups,
                     loss_wts={"cls_action": 1.0, "past_cls_action": 1.0,
                               "past_reg": 1.0},
-                    mixup=mixup, compute_dtype=jnp.bfloat16)
+                    mixup=mixup, compute_dtype=jnp.bfloat16,
+                    master_dtype=master_dtype)
     rng = np.random.default_rng(0)
     # device-resident batch pool (the data_on_device training pipeline;
     # per-step host staging of the 14 MB batch would measure the tunnel)
@@ -527,8 +547,20 @@ def wait_for_tpu(max_wait_s=2400, probe_timeout_s=100):
         _t.sleep(60)
 
 
-def main():
-    wait_for_tpu()
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (VERDICT r4 next #1b): the flagship
+    train-step compiles cost 117-185 s each on the tunneled TPU; pay them
+    once per image, not once per bench attempt. Importing jax here does NOT
+    initialize the backend, so a wedged worker can't hang this call."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def _leg_headline(results):
     value = bench_end_to_end()
     # physical sanity: implied sustained FLOPS must be below chip peak,
     # otherwise the synchronization is broken and the number is an artifact
@@ -536,33 +568,141 @@ def main():
     assert implied < V5E_BF16_PEAK, \
         f"implausible throughput {value:.0f} clips/s -> {implied / 1e12:.0f} " \
         f"TFLOPS sustained > {V5E_BF16_PEAK / 1e12:.0f} peak; sync is broken"
-    cold, cold_loader, cold_staging, cold_link_mbps = bench_cold_path()
-    baseline = get_torch_baseline()
-    egtea = bench_egtea()
-    train_ms = bench_train()
-    train_ms_256 = bench_train(batch=256)
-    print(json.dumps({
-        "metric": "EK100 val clips/sec/chip",
+    results.update({
         "value": round(value, 2),
-        "unit": "clips/s",
-        "vs_baseline": round(value / baseline, 2),
         "ms_per_batch": round(BATCH / value * 1000, 2),
         "mfu": round(value * FLOPS_PER_CLIP / V5E_BF16_PEAK, 3),
-        # cold path: annotations -> BatchLoader -> staging -> forward
-        # (no HBM pre-staging). Itemization: loader-only = host batch
-        # production; staging-only = loader + host->device upload (the
-        # tunneled dev link's MB/s is the binding constraint; see
-        # bench_cold_path docstring)
+    })
+
+
+def _leg_baseline(results):
+    baseline = get_torch_baseline()
+    results["torch_cpu_clips_per_sec"] = round(baseline, 2)
+    if "value" in results:
+        results["vs_baseline"] = round(results["value"] / baseline, 2)
+
+
+def _leg_cold(results):
+    # cold path: annotations -> BatchLoader -> staging -> forward (no HBM
+    # pre-staging). Itemization: loader-only = host batch production;
+    # staging-only = loader + host->device upload (the tunneled dev link's
+    # MB/s is the binding constraint; see bench_cold_path docstring)
+    cold, cold_loader, cold_staging, cold_link_mbps = bench_cold_path()
+    results.update({
         "cold_clips_per_sec": round(cold, 2),
         "cold_loader_clips_per_sec": round(cold_loader, 2),
         "cold_staging_clips_per_sec": round(cold_staging, 2),
         "cold_link_mbps": round(cold_link_mbps, 1),
-        "egtea_clips_per_sec": round(egtea, 2),
+    })
+
+
+def _leg_egtea(results):
+    results["egtea_clips_per_sec"] = round(bench_egtea(), 2)
+
+
+def _leg_train64(results):
+    train_ms = bench_train()
+    results.update({
         "train_ms_per_step": round(train_ms, 2),
         "train_batch": 64,
+        # which numerics the headline train field measures (VERDICT r4 #8):
+        # fp32 master weights = the reference-semantics default
+        "train_master_dtype": "float32",
+    })
+
+
+def _leg_train256(results):
+    train_ms_256 = bench_train(batch=256)
+    results.update({
         "train_ms_per_step_b256": round(train_ms_256, 2),
         "train_clips_per_sec_b256": round(256e3 / train_ms_256, 2),
-    }))
+    })
+
+
+def _leg_train256_bf16m(results):
+    # combined best train operating point (VERDICT r4 next #2):
+    # B=256 amortization x bf16 masters (train.master_dtype=bfloat16)
+    ms = bench_train(batch=256, master_dtype="bfloat16")
+    results.update({
+        "train_ms_per_step_b256_bf16m": round(ms, 2),
+        "train_clips_per_sec_b256_bf16m": round(256e3 / ms, 2),
+    })
+
+
+def _leg_int8(results):
+    # quantized HBM feature cache (beyond-reference capability, VERDICT r4
+    # next #9); logits-tolerance coverage lives in tests/test_data.py
+    results["int8_cache_clips_per_sec"] = round(
+        bench_end_to_end(cache_dtype="int8"), 2)
+
+
+# (name, runner, cold-run cost estimate s, required?) — order = priority.
+# Estimates are conservative first-run costs (dataset build + compile +
+# timed windows); with a warm .jax_cache the real costs are far lower, so
+# gating on these only ever errs toward finishing inside the budget.
+LEGS = [
+    ("end_to_end", _leg_headline, 240, True),
+    ("baseline", _leg_baseline, 30, True),  # cached after first image run
+    ("train64", _leg_train64, 220, False),
+    ("egtea", _leg_egtea, 90, False),
+    ("cold_path", _leg_cold, 280, False),
+    ("train256_bf16m", _leg_train256_bf16m, 280, False),
+    ("train256", _leg_train256, 280, False),
+    ("int8_cache", _leg_int8, 150, False),
+]
+
+
+def main(budget_s=None, legs=None, emit=None):
+    """Run the legs inside a wall-clock budget, reprinting the cumulative
+    JSON line after every leg so the LAST stdout line is always a complete,
+    parseable artifact no matter where a kill lands."""
+    t_start = time.time()
+    if budget_s is None:
+        budget_s = float(os.environ.get("AFFT_BENCH_BUDGET_S", 1800))
+    deadline = t_start + budget_s
+    legs = LEGS if legs is None else legs
+    emit = emit or (lambda line: print(line, flush=True))
+
+    _enable_compile_cache()
+
+    results = {
+        "metric": "EK100 val clips/sec/chip",
+        "unit": "clips/s",
+        "budget_s": round(budget_s, 1),
+        "legs_done": [],
+        "legs_skipped": [],
+    }
+
+    def emit_line():
+        results["elapsed_s"] = round(time.time() - t_start, 1)
+        emit(json.dumps(results))
+
+    # preflight, but never let the wedge-wait eat the whole window: always
+    # reserve room for the headline leg (+ a margin for its own retries)
+    reserve = legs[0][2] + 120
+    max_wait = max(60.0, deadline - time.time() - reserve)
+    try:
+        wait_for_tpu(max_wait_s=max_wait)
+    except RuntimeError as e:
+        # still try the legs: the probe subprocess can time out on tunnel
+        # hiccups the in-process backend would survive
+        results["wait_for_tpu_error"] = str(e)[:500]
+        emit_line()
+
+    for name, fn, est_s, required in legs:
+        if not required and time.time() + est_s > deadline:
+            results["legs_skipped"].append(name)
+            continue
+        try:
+            fn(results)
+            results["legs_done"].append(name)
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            results[f"error_{name}"] = f"{type(e).__name__}: {e}"[:500]
+        emit_line()
+    # final line: catches the all-skipped / trailing-skip cases (cumulative
+    # reprints make duplicates harmless — the LAST line is the artifact)
+    emit_line()
+    return results
 
 
 if __name__ == "__main__":

@@ -252,7 +252,7 @@ def trajectory(request):
 
     return {"d": d, "iter_losses": iter_losses, "lr_trace": lr_trace,
             "epoch_metrics": epoch_metrics, "params": params,
-            "model": model}
+            "model": model, "variant": variant}
 
 
 def test_lr_trace_matches(trajectory):
@@ -262,10 +262,18 @@ def test_lr_trace_matches(trajectory):
     d = trajectory["d"]
     np.testing.assert_allclose(trajectory["lr_trace"], d["lr::rest"],
                                rtol=1e-6, atol=1e-9)
+    if trajectory["variant"] == "individual":
+        # the individual fixture is built with cosine T_max < total steps
+        # PRECISELY so the reference's past-T_max zero-lr branch
+        # (common/scheduler.py:70-75) runs through the real loop — if a
+        # regenerated fixture stopped containing zeros, this coverage would
+        # silently vanish, so require the zeros unconditionally
+        assert (d["lr::rest"] == 0.0).any(), \
+            "individual fixture lost its zero-lr tail (regenerate with " \
+            "cos_epochs < EPOCHS in tools/export_train_trajectory.py)"
     if (d["lr::rest"] == 0.0).any():
-        # individual leg: cosine T_max < total steps — the reference's
-        # past-T_max zero-lr branch (common/scheduler.py:70-75) must have
-        # been reproduced exactly, not just within tolerance
+        # the zero-lr branch must be reproduced exactly, not just within
+        # tolerance
         zero = d["lr::rest"] == 0.0
         got = np.asarray(trajectory["lr_trace"])
         assert (got[zero] == 0.0).all(), "zero-lr tail not exactly zero"
