@@ -108,6 +108,24 @@ def _model_cfg(variant="early"):
             "CMFP": {"_target_": "models.future_prediction.CMFPScoreFusion",
                      "model_cfg": None},
         }
+    # early/temporal/ca share the CMFPEarly shared-head stack and differ
+    # only in the fuser group, exactly like reference expts 01/03/04
+    fuser = {"_target_": "models.fusion.ModalTokenCMFuser", "dim": 48,
+             "depth": 2, "num_heads": 4, "drop_rate": 0.0,
+             "attn_drop_rate": 0.0, "drop_path_rate": 0.0,
+             "modalities": dict(DIMS)}
+    if variant == "temporal":
+        fuser = {"_target_": "models.fusion.TemporalCMFuser", "dim": 48,
+                 "depth": 2, "num_heads": 2, "embd_drop_rate": 0.0,
+                 "drop_rate": 0.0, "attn_drop_rate": 0.0,
+                 "drop_path_rate": 0.0, "modalities": dict(DIMS),
+                 "modal_encoding": True, "frame_level_token": True,
+                 "temporal_sequence_length": T}
+    elif variant == "ca":
+        fuser = {"_target_": "models.fusion.TemporalCrossAttentFuser",
+                 "dim": 48, "num_heads": 2, "embd_drop_rate": 0.0,
+                 "drop_rate": 0.0, "attn_drop_rate": 0.0,
+                 "drop_path_rate": 0.0, "modalities": dict(DIMS)}
     return {
         "modal_dims": dict(DIMS),
         "modal_feature_order": ["rgb", "objects", "audio", "poses", "flow"],
@@ -121,10 +139,7 @@ def _model_cfg(variant="early"):
         },
         "mapping": {"_target_": "models.feature_mapping.Linear",
                     "use_layernorm": False, "sparse_mapping": True},
-        "fuser": {"_target_": "models.fusion.ModalTokenCMFuser", "dim": 48,
-                  "depth": 2, "num_heads": 4, "drop_rate": 0.0,
-                  "attn_drop_rate": 0.0, "drop_path_rate": 0.0,
-                  "modalities": dict(DIMS)},
+        "fuser": fuser,
         "future_predictor": {
             "_target_": "models.future_prediction.BaseFuturePredictor",
             "in_features": 48, "inter_dim": 64, "n_layer": 2, "n_head": 2,
@@ -155,16 +170,21 @@ def _batches(d, tag, n, lam=None, mods=MODS):
     return out
 
 
-@pytest.fixture(scope="module", params=["early", "matt", "individual"])
+@pytest.fixture(scope="module",
+                params=["early", "matt", "individual", "temporal", "ca"])
 def trajectory(request):
     """Replay the fixture's batches through afft_tpu's loop; return both
-    the reference records and the afft records. Three reference
+    the reference records and the afft records. Five reference
     compositions: ``early`` (expt-01/02: CMFPEarly + ModalTokenCMFuser,
     shared heads, plain SGD), ``matt`` (expt-05: CMFPScoreFusion +
-    MATT, per-modality heads, nesterov, past_cls_action weight 0) and
+    MATT, per-modality heads, nesterov, past_cls_action weight 0),
     ``individual`` (expt-00: single-rgb IndividualFuturePrediction,
     lr_wd=null single group, nesterov, cosine T_max < total steps so the
-    zero-lr tail branch runs through the loop)."""
+    zero-lr tail branch runs through the loop), ``temporal`` (expt-03:
+    CMFPEarly + TemporalCMFuser with pos/modality embeddings, n x n tiled
+    causal mask, frame-level token slots) and ``ca`` (expt-04: CMFPEarly +
+    TemporalCrossAttentFuser, rgb query stream over depth
+    num_modalities-1 cross-attention DecoderBlocks)."""
     variant = request.param
     path = _fixture_path(variant)
     if not os.path.exists(path):
@@ -172,7 +192,7 @@ def trajectory(request):
                     "run tools/export_train_trajectory.py")
     d = np.load(path)
     assert list(d["meta"]) == [B, T, EPOCHS, ITERS, VAL_ITERS]
-    nesterov = variant in ("matt", "individual")
+    nesterov = variant != "early"
     mods = ["rgb"] if variant == "individual" else MODS
     loss_wts = dict(LOSS_WTS)
     if variant == "matt":
@@ -183,8 +203,9 @@ def trajectory(request):
     sd0 = {k[5:]: d[k] for k in d.files if k.startswith("sd0::")}
     params = TI.import_base_model(model, sd0)
 
-    if variant == "individual":
-        # expt-00's opt.lr_wd=null: one overall group (train.py:196-199)
+    if variant in ("individual", "temporal", "ca"):
+        # expt-00/03/04's opt.lr_wd=null: one overall group
+        # (train.py:196-199)
         groups = O.build_group_tree(params, None, LR, WD)
         group_lrs = {g.lr for g in jax.tree.leaves(groups)}
         assert group_lrs == {LR}, f"lr_wd=None must be one group: {group_lrs}"

@@ -37,9 +37,16 @@ Two variants (both exported by default):
     (common/scheduler.py:70-75) runs through the real loop — the expt-00
     composition, reference expts/00_RGB_TSN_ek100_train.txt (warmup 20 <
     scheduler 30 < train 50 epochs there).
+  * ``temporal`` — CMFPEarly + TemporalCMFuser with modal_encoding +
+    frame_level_token + temporal_sequence_length=T (the expt-03 T-SA-Fuser
+    composition: pos/modality embeddings, n x n tiled causal mask, token
+    slots as output), lr_wd=null, nesterov.
+  * ``ca`` — CMFPEarly + TemporalCrossAttentFuser (the expt-04 CA-Fuser
+    composition: rgb query stream, depth = num_modalities - 1 cross-attent
+    DecoderBlocks with causal masks), lr_wd=null, nesterov.
 
 Usage: python tools/export_train_trajectory.py [outdir]
-       [early|matt|individual ...]
+       [early|matt|individual|temporal|ca ...]
 """
 
 import sys
@@ -52,7 +59,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from export_fixtures import install_stubs  # noqa: E402
 
 REFERENCE = "/root/reference"
-ALL_VARIANTS = ("early", "matt", "individual")
+ALL_VARIANTS = ("early", "matt", "individual", "temporal", "ca")
 _args = [a for a in sys.argv[1:]]
 VARIANTS = tuple(a for a in _args if a in ALL_VARIANTS) or ALL_VARIANTS
 _dirs = [a for a in _args if a not in ALL_VARIANTS + ("all",)]
@@ -128,6 +135,29 @@ def model_cfg(DictConfig, variant="early"):
             "CMFP": {"_target_": "models.future_prediction.CMFPScoreFusion",
                      "model_cfg": None},
         })
+    # early (expt-01/02) and the two temporal-fuser compositions (expt-03
+    # T-SA-Fuser, expt-04 CA-Fuser) share the CMFPEarly shared-head stack
+    # and differ only in the fuser group — exactly like the expt files
+    fuser = {"_target_": "models.fusion.ModalTokenCMFuser", "dim": 48,
+             "depth": 2, "num_heads": 4, "drop_rate": 0.0,
+             "attn_drop_rate": 0.0, "drop_path_rate": 0.0,
+             "modalities": dict(DIMS)}
+    if variant == "temporal":
+        # expts/03_T-SA-Fuser_ek100_train.txt fuser overrides at toy scale:
+        # modal_encoding + frame_level_token + temporal_sequence_length=T
+        fuser = {"_target_": "models.fusion.TemporalCMFuser", "dim": 48,
+                 "depth": 2, "num_heads": 2, "embd_drop_rate": 0.0,
+                 "drop_rate": 0.0, "attn_drop_rate": 0.0,
+                 "drop_path_rate": 0.0, "modalities": dict(DIMS),
+                 "modal_encoding": True, "frame_level_token": True,
+                 "temporal_sequence_length": T}
+    elif variant == "ca":
+        # expts/04_CA-Fuser_ek100_train.txt: depth = num_modalities - 1,
+        # rgb query stream (conf/model/fuser/CA-Fuser.yaml)
+        fuser = {"_target_": "models.fusion.TemporalCrossAttentFuser",
+                 "dim": 48, "num_heads": 2, "embd_drop_rate": 0.0,
+                 "drop_rate": 0.0, "attn_drop_rate": 0.0,
+                 "drop_path_rate": 0.0, "modalities": dict(DIMS)}
     return DictConfig({
         "modal_dims": DictConfig(dict(DIMS)),
         "modal_feature_order": ["rgb", "objects", "audio", "poses", "flow"],
@@ -141,10 +171,7 @@ def model_cfg(DictConfig, variant="early"):
         }),
         "mapping": {"_target_": "models.feature_mapping.Linear",
                     "use_layernorm": False, "sparse_mapping": True},
-        "fuser": {"_target_": "models.fusion.ModalTokenCMFuser", "dim": 48,
-                  "depth": 2, "num_heads": 4, "drop_rate": 0.0,
-                  "attn_drop_rate": 0.0, "drop_path_rate": 0.0,
-                  "modalities": dict(DIMS)},
+        "fuser": fuser,
         "future_predictor": {
             "_target_": "models.future_prediction.BaseFuturePredictor",
             "in_features": 48, "inter_dim": 64, "n_layer": 2, "n_head": 2,
@@ -242,8 +269,9 @@ def run_variant(variant):
     from common import scheduler as ref_sched
     import train as ref_train
 
-    # expts/05_MATT + expts/00_RGB_TSN: opt.optimizer.nesterov=true
-    nesterov = variant in ("matt", "individual")
+    # expts/00,03,04,05 set opt.optimizer.nesterov=true; expt-01/02 keep
+    # the sgd.yaml default false
+    nesterov = variant != "early"
     mods = ["rgb"] if variant == "individual" else MODS
     loss_wts = dict(LOSS_WTS)
     if variant == "matt":                 # train.loss_wts.past_cls_action=0
@@ -256,7 +284,10 @@ def run_variant(variant):
 
     # the reference's real param-group construction (train.py:336-338,352);
     # individual = expt-00's opt.lr_wd=null single-group path (:196-199)
-    lr_wd = None if variant == "individual" else \
+    # expt-00/03/04 leave opt.lr_wd at the config default null (one lr/wd
+    # for every param, train.py:196-199); early/matt exercise the grouped
+    # path (train.py:201-225)
+    lr_wd = None if variant in ("individual", "temporal", "ca") else \
         [["future_predictor.fuser", FUSER_LR, FUSER_WD]]
     param_groups = ref_train.prepare_params(model, lr_wd, LR, WD)
     optimizer = torch.optim.SGD(param_groups, lr=LR, momentum=0.9,
