@@ -150,7 +150,7 @@ def _model_cfg(variant="early"):
     }
 
 
-def _batches(d, tag, n, lam=None, mods=MODS):
+def _batches(d, tag, n, lam=None, mods=MODS, pad_to=None):
     out = []
     for i in range(n):
         p = f"{tag}{i}::"
@@ -166,12 +166,30 @@ def _batches(d, tag, n, lam=None, mods=MODS):
             # injected value irrelevant there
             batch["mixup_lam"] = np.float32(
                 1.0 if np.isnan(lam[i]) else lam[i])
+        if pad_to is not None and pad_to > B:
+            # the BatchLoader pad_final policy: fixed-shape batch, trailing
+            # rows flagged invalid (never mixed, zero loss weight)
+            pad = pad_to - B
+
+            def _pad(x, fill):
+                shape = (pad,) + x.shape[1:]
+                return np.concatenate(
+                    [x, np.full(shape, fill, x.dtype)], axis=0)
+            batch["data_dict"] = {m: _pad(v, 0.0)
+                                  for m, v in batch["data_dict"].items()}
+            batch["target"] = {t: _pad(v, 0)
+                               for t, v in batch["target"].items()}
+            batch["target_subclips"] = {
+                t: _pad(v, -1) for t, v in batch["target_subclips"].items()}
+            batch["valid"] = np.concatenate(
+                [batch["valid"], np.zeros((pad,), bool)])
         out.append(batch)
     return out
 
 
 @pytest.fixture(scope="module",
-                params=["early", "matt", "individual", "temporal", "ca"])
+                params=["early", "matt", "individual", "temporal", "ca",
+                        "early-dp8"])
 def trajectory(request):
     """Replay the fixture's batches through afft_tpu's loop; return both
     the reference records and the afft records. Five reference
@@ -184,8 +202,19 @@ def trajectory(request):
     CMFPEarly + TemporalCMFuser with pos/modality embeddings, n x n tiled
     causal mask, frame-level token slots) and ``ca`` (expt-04: CMFPEarly +
     TemporalCrossAttentFuser, rgb query stream over depth
-    num_modalities-1 cross-attention DecoderBlocks)."""
+    num_modalities-1 cross-attention DecoderBlocks).
+
+    ``early-dp8`` replays the early leg DATA-PARALLEL on the full 8-device
+    CPU mesh with B=6 batches padded to 8 rows (the BatchLoader pad_final
+    policy), closing the DP==reference chain DIRECTLY instead of
+    transitively via the 1-vs-8 equivalence in test_integration
+    (VERDICT r4 next #5; reference DDP semantics, train.py:364-368)."""
     variant = request.param
+    ndev = 1
+    if variant.endswith("-dp8"):
+        variant, ndev = variant[:-4], 8
+        if len(jax.devices()) < ndev:
+            pytest.skip("needs the 8-device CPU mesh (conftest XLA_FLAGS)")
     path = _fixture_path(variant)
     if not os.path.exists(path):
         pytest.skip(f"{os.path.basename(path)} missing; "
@@ -242,10 +271,12 @@ def trajectory(request):
     runner.train_step = recording_step
 
     lam = d["lam"]
-    train_batches = _batches(d, "batch", EPOCHS * ITERS, lam=lam, mods=mods)
-    val_batches = _batches(d, "val", VAL_ITERS, mods=mods)
+    pad_to = B + (-B % ndev) if ndev > 1 else None  # 6 -> 8 rows on dp8
+    train_batches = _batches(d, "batch", EPOCHS * ITERS, lam=lam, mods=mods,
+                             pad_to=pad_to)
+    val_batches = _batches(d, "val", VAL_ITERS, mods=mods, pad_to=pad_to)
 
-    mesh = make_mesh(jax.devices()[:1])
+    mesh = make_mesh(jax.devices()[:ndev])
     tracker = MetricTracker(NUM_CLASSES)
     rng = jax.random.key(0)
     step = 0
