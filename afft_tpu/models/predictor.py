@@ -87,6 +87,21 @@ class BaseFuturePredictor:
             "ln_f": L.layernorm_init(self.n_embd),
         }
 
+    @staticmethod
+    def block_list(params):
+        """Per-layer views of the block params. Canonical storage is a
+        list of per-layer dicts; under ``train.pipeline_stages>1`` the
+        loop stores the blocks natively stacked (leading layer dim, see
+        parallel.pipeline.stack_predictor_blocks) and the sequential
+        paths slice per-layer views here (XLA fuses the slices — no
+        copy materializes)."""
+        blocks = params["blocks"]
+        if isinstance(blocks, dict):
+            n = int(jax.tree_util.tree_leaves(blocks)[0].shape[0])
+            return [jax.tree.map(lambda a, i=i: a[i], blocks)
+                    for i in range(n)]
+        return blocks
+
     def _block(self, p, x, mask, *, train, rng, collect_attn):
         Bsz, T, C = x.shape
         h = L.layernorm_apply(p["ln_1"], x, 1e-5)
@@ -125,7 +140,7 @@ class BaseFuturePredictor:
             assert self.pipeline_ctx is None, \
                 "seq_ctx and pipeline_ctx are mutually exclusive"
             x = self.seq_ctx.constrain(x)
-            for p in params["blocks"]:
+            for p in self.block_list(params):
                 x, _ = self._block(p, x, mask, train=train, rng=rng,
                                    collect_attn=False)
                 x = self.seq_ctx.constrain(x)
@@ -148,7 +163,7 @@ class BaseFuturePredictor:
             # kernels (dx chains + mask regeneration) plus XLA dW matmuls
             seeds = jax.random.randint(rng.next(), (2,), 0, 2 ** 31 - 1,
                                        dtype=jnp.int32)
-            for li, p in enumerate(params["blocks"]):
+            for li, p in enumerate(self.block_list(params)):
                 x = PGT.fused_gpt2_block_train(
                     x, p, mask, seeds, num_heads=self.n_head, layer_idx=li,
                     attn_rate=self.attn_pdrop, resid_rate=self.resid_pdrop,
@@ -160,13 +175,13 @@ class BaseFuturePredictor:
             # inference fast path: each layer = two Pallas kernels (attn
             # half + MLP half) with no XLA ops in between; weights per
             # half stay VMEM-resident across the batch grid
-            for p in params["blocks"]:
+            for p in self.block_list(params):
                 x = PG.fused_gpt2_block(x, p, mask, num_heads=self.n_head,
                                         eps=1e-5)
             x = L.layernorm_apply(params["ln_f"], x, 1e-5)
             return x, None
         attns = []
-        for p in params["blocks"]:
+        for p in self.block_list(params):
             x, w = self._block(p, x, mask, train=train, rng=rng,
                                collect_attn=collect_attn)
             if collect_attn:
@@ -182,18 +197,19 @@ class BaseFuturePredictor:
         block_fn — the per-microbatch mask semantics pinned by
         tests/test_pipeline.py::test_pipeline_train_mode_dropout.
 
-        Known cost: stack_layer_params concatenates the per-layer params
-        into the L-leading layout INSIDE the step (and its VJP slices the
-        gradients back), so each pipelined step pays one extra
-        read+write of the predictor weights in HBM. Removing it means
-        storing predictor params natively stacked when pipelining —
-        a checkpoint/torch-import/TP-rule layout change not worth making
-        until a real multi-chip mesh exists to measure the schedule on
-        (single-chip perf is untestable for this path; see NEXT.md)."""
+        The loop stores predictor blocks natively stacked when
+        ``train.pipeline_stages>1`` (parallel.pipeline.
+        stack_predictor_blocks), so the schedule consumes the storage
+        layout directly — no per-step re-stack of the layer list (which
+        cost one extra HBM read+write of the predictor weights, plus the
+        VJP's gradient re-slice). A canonical layer-list still works
+        (stacked on the fly) for ad-hoc callers."""
         from ..parallel.pipeline import pipeline_blocks, stack_layer_params
 
         ctx = self.pipeline_ctx
-        stacked = stack_layer_params(params["blocks"])
+        blocks = params["blocks"]
+        stacked = blocks if isinstance(blocks, dict) \
+            else stack_layer_params(blocks)
         keyed = train and rng is not None and \
             (self.attn_pdrop > 0 or self.resid_pdrop > 0)
         if keyed:
@@ -262,7 +278,7 @@ class BaseFuturePredictor:
         def run(tokens, pos):
             x = tokens + jnp.take(params["wpe"],
                                   pos + jnp.arange(tokens.shape[1]), axis=0)
-            for layer, p in enumerate(params["blocks"]):
+            for layer, p in enumerate(self.block_list(params)):
                 x, kcs[layer], vcs[layer] = self._block_cached(
                     p, x, kcs[layer], vcs[layer], pos)
             return L.layernorm_apply(params["ln_f"], x, 1e-5)

@@ -48,6 +48,51 @@ def stack_layer_params(layer_params_list):
                         *layer_params_list)
 
 
+def stack_predictor_blocks(tree):
+    """Natively-stacked predictor storage (``train.pipeline_stages>1``).
+
+    Every GPT-2 predictor subtree — identified by its ``blocks`` +
+    ``wpe`` keys, so fuser block lists are untouched — gets its per-layer
+    ``blocks`` list stacked into one leading-layer-dim pytree. The GPipe
+    schedule (``pipeline_blocks``) then consumes the storage layout
+    directly: without this, every pipelined step re-stacked the layer list
+    inside the jitted program (and its VJP sliced the gradients back),
+    paying one extra HBM read+write of the predictor weights per step.
+    Applies to params and, because the momentum tree mirrors the param
+    structure, to optimizer state. Checkpoints stay canonical (layer
+    lists): the loop unstacks on save and restacks on resume."""
+    def walk(t):
+        if isinstance(t, dict):
+            out = {k: walk(v) for k, v in t.items()}
+            if "wpe" in out and isinstance(out.get("blocks"), (list, tuple)):
+                out["blocks"] = stack_layer_params(list(out["blocks"]))
+            return out
+        if isinstance(t, (list, tuple)):
+            return type(t)(walk(v) for v in t)
+        return t
+    return walk(tree)
+
+
+def unstack_predictor_blocks(tree):
+    """Inverse of ``stack_predictor_blocks`` — back to the canonical
+    per-layer-list layout (checkpoints, torch export, non-pipelined
+    resume). Works on device or host (numpy) trees."""
+    def walk(t):
+        if isinstance(t, dict):
+            out = {k: walk(v) for k, v in t.items()}
+            if "wpe" in out and isinstance(out.get("blocks"), dict):
+                stacked = out["blocks"]
+                n = int(jax.tree.leaves(stacked)[0].shape[0])
+                out["blocks"] = [
+                    jax.tree.map(lambda a, i=i: a[i], stacked)
+                    for i in range(n)]
+            return out
+        if isinstance(t, (list, tuple)):
+            return type(t)(walk(v) for v in t)
+        return t
+    return walk(tree)
+
+
 def pipeline_blocks(block_fn, stacked_params, x, mesh: Mesh,
                     microbatches: int, axis: str = "pipe",
                     block_takes_micro_index: bool = False):

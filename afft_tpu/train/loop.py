@@ -295,6 +295,34 @@ def main(cfg: Config, interactive: bool = True):
             lambda x: x.astype(master_dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
+    pipe_stages = int(cfg.train.get("pipeline_stages") or 0)
+    if pipe_stages > 1:
+        # GPipe for the predictor block stack: mesh gains a "pipe" axis,
+        # the stack runs parallel/pipeline.py's one-scan schedule inside
+        # the same jitted train step; composes with DP (and ZeRO below)
+        # because the schedule maps over the pipe axis only
+        from ..parallel.pipeline import (PipelineCtx, make_mesh_data_pipe,
+                                         stack_predictor_blocks)
+        mesh = make_mesh_data_pipe(pipe_stages)
+        micro = int(cfg.train.get("pipeline_microbatches") or pipe_stages)
+        proto = model.future_predictor.predictor_proto
+        assert proto.n_layer % pipe_stages == 0, \
+            f"fp_layers={proto.n_layer} must divide over " \
+            f"pipeline_stages={pipe_stages}"
+        proto.pipeline_ctx = PipelineCtx(mesh, microbatches=micro)
+        # natively stacked predictor storage: the schedule consumes the
+        # leading-layer-dim layout directly (no per-step re-stack paying
+        # an extra HBM read+write of the predictor weights). Group tree
+        # and optimizer state are built on the stacked tree below;
+        # checkpoints stay canonical — unstacked on save, restacked on
+        # resume.
+        params = stack_predictor_blocks(params)
+        log.info("pipeline parallelism: %d stages x %d-way data, "
+                 "%d microbatches (stacked predictor storage)", pipe_stages,
+                 mesh.devices.shape[0], micro)
+    else:
+        mesh = make_mesh()
+
     groups = O.build_group_tree(params, cfg.opt.lr_wd, cfg.opt.lr, cfg.opt.wd)
     optimizer = instantiate(cfg.opt.optimizer)
     opt_state = optimizer.init(params, groups)
@@ -331,25 +359,6 @@ def main(cfg: Config, interactive: bool = True):
                     grad_accum=int(cfg.train.get("grad_accum") or 1))
     metric_tracker = MetricTracker(num_classes)
 
-    pipe_stages = int(cfg.train.get("pipeline_stages") or 0)
-    if pipe_stages > 1:
-        # GPipe for the predictor block stack: mesh gains a "pipe" axis,
-        # the stack runs parallel/pipeline.py's one-scan schedule inside
-        # the same jitted train step; composes with DP (and ZeRO below)
-        # because the schedule maps over the pipe axis only
-        from ..parallel.pipeline import PipelineCtx, make_mesh_data_pipe
-        mesh = make_mesh_data_pipe(pipe_stages)
-        micro = int(cfg.train.get("pipeline_microbatches") or pipe_stages)
-        proto = model.future_predictor.predictor_proto
-        assert proto.n_layer % pipe_stages == 0, \
-            f"fp_layers={proto.n_layer} must divide over " \
-            f"pipeline_stages={pipe_stages}"
-        proto.pipeline_ctx = PipelineCtx(mesh, microbatches=micro)
-        log.info("pipeline parallelism: %d stages x %d-way data, "
-                 "%d microbatches", pipe_stages,
-                 mesh.devices.shape[0], micro)
-    else:
-        mesh = make_mesh()
     if cfg.train.get("zero_sharding"):
         # ZeRO-1: optimizer state sharded over the data axis; GSPMD turns
         # the DP update into reduce-scatter -> local update -> all-gather.
@@ -373,6 +382,12 @@ def main(cfg: Config, interactive: bool = True):
             # survives under .old-tmp; load_checkpoint recovers it
             or os.path.exists(last_path + ".old-tmp")):
         ckpt = load_checkpoint(last_path)
+        if pipe_stages > 1:
+            # checkpoints are canonical (per-layer block lists); the live
+            # pipelined trees use the stacked predictor storage
+            from ..parallel.pipeline import stack_predictor_blocks
+            ckpt["model"] = stack_predictor_blocks(ckpt["model"])
+            ckpt["optimizer"] = stack_predictor_blocks(ckpt["optimizer"])
         # reconcile restored dtypes with the configured master/state dtypes
         # (the live params/opt_state trees are only dtype TEMPLATES here —
         # placement happens once, below, on whichever source wins):
@@ -507,6 +522,12 @@ def main(cfg: Config, interactive: bool = True):
                 {k: v for k, v in opt_state.items() if k != "params_c"}
                 if isinstance(opt_state, dict) else opt_state,
                 materialize=is_master)
+            if is_master and pipe_stages > 1:
+                # canonical layer-list layout on disk: a checkpoint written
+                # under pipelining resumes under any parallelism config
+                from ..parallel.pipeline import unstack_predictor_blocks
+                host_params = unstack_predictor_blocks(host_params)
+                host_opt = unstack_predictor_blocks(host_opt)
         if is_best:
             best_metric = primary
         if is_master:
@@ -551,6 +572,11 @@ def main(cfg: Config, interactive: bool = True):
                          if k != "params_c"}
                         if isinstance(opt_state, dict) else opt_state,
                         materialize=is_master)
+                    if is_master and pipe_stages > 1:
+                        from ..parallel.pipeline import \
+                            unstack_predictor_blocks
+                        host_params = unstack_predictor_blocks(host_params)
+                        host_opt = unstack_predictor_blocks(host_opt)
                 if is_master:
                     save_checkpoint(last_path, host_params, host_opt,
                                     ck_epoch, ck_step, best_metric,

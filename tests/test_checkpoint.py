@@ -475,3 +475,49 @@ def test_sigterm_preemption_checkpoints_and_resumes(monkeypatch):
     final = load_checkpoint(os.path.join(ckpt_dir, "checkpoint_last"))
     assert int(final["epoch"]) == saved_epoch + 1
     shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def test_pipelined_training_checkpoints_canonical_and_resumes(monkeypatch):
+    """Under train.pipeline_stages>1 the loop stores predictor blocks
+    natively stacked in memory (no per-step re-stack; VERDICT r4 #6) —
+    but checkpoints must stay CANONICAL (per-layer block lists, loadable
+    under any parallelism config), and resume must restack params AND
+    optimizer momentum."""
+    import shutil
+    from run import read_file_into_cli
+    from afft_tpu.config import compose as compose_cfg
+    from afft_tpu.train.checkpoint import load_checkpoint
+    from afft_tpu.train.loop import main as train_main
+
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(__file__)))
+    exp_dir = "checkpoints/CMFPEarly_ModalTokenCMFuser_rgb_flow_pipe-ckpt-t"
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    ov = read_file_into_cli("expts/99_synth_smoke_train.txt")
+    ov = [o for o in ov if not o.startswith("train.num_epochs")
+          and not o.startswith("experiment_name")]
+    ov += ["experiment_name=pipe-ckpt-t", "use_wandb=false", "workers=2",
+           "train.pipeline_stages=2"]  # fp_layers=2 -> 1 layer per stage
+
+    train_main(compose_cfg("afft_tpu/conf", ov + ["train.num_epochs=1"]),
+               interactive=False)
+    first = load_checkpoint(os.path.join(exp_dir, "checkpoint_last"))
+    assert int(first["epoch"]) == 1
+    blocks = first["model"]["future_predictor"]["future_predictor"][
+        "shared"]["blocks"]
+    assert isinstance(blocks, list) and len(blocks) == 2, type(blocks)
+    mom_blocks = first["optimizer"]["momentum"]["future_predictor"][
+        "future_predictor"]["shared"]["blocks"]
+    assert isinstance(mom_blocks, list) and len(mom_blocks) == 2
+
+    # resume restacks and continues pipelined
+    train_main(compose_cfg("afft_tpu/conf",
+                           ov + ["train.num_epochs=2", "train.resume=true"]),
+               interactive=False)
+    second = load_checkpoint(os.path.join(exp_dir, "checkpoint_last"))
+    assert int(second["epoch"]) == 2
+    assert int(second["step"]) > int(first["step"])
+    # ...and the resumed checkpoint is canonical again
+    blocks2 = second["model"]["future_predictor"]["future_predictor"][
+        "shared"]["blocks"]
+    assert isinstance(blocks2, list) and len(blocks2) == 2
+    shutil.rmtree(exp_dir, ignore_errors=True)

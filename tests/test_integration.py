@@ -43,9 +43,15 @@ def make_batch(cfg, B=8, T=6, n_cls=13, seed=0):
     }
 
 
-def build_runner(cfg, n_cls=13, mixup=True, **runner_kw):
+def build_runner(cfg, n_cls=13, mixup=True, stack_blocks=False, **runner_kw):
     model = BaseModel(cfg.model, num_classes={"action": n_cls})
     params = model.init(jax.random.key(0))
+    if stack_blocks:
+        # the trainer's storage layout under train.pipeline_stages>1
+        # (loop.py): group tree and optimizer state are built on the
+        # natively stacked predictor tree
+        from afft_tpu.parallel.pipeline import stack_predictor_blocks
+        params = stack_predictor_blocks(params)
     groups = O.build_group_tree(params, None, 0.01, 1e-6)
     opt = O.sgd(momentum=0.9, nesterov=True)
     opt_state = opt.init(params, groups)
@@ -634,16 +640,23 @@ def test_pipeline_stages_train_step_matches_plain():
     """Full train step with the predictor stack pipelined over a
     (data=4, pipe=2) mesh == the plain 8-way DP step (dropout off: the
     per-microbatch mask semantics legitimately differ under pipelining,
-    everything else must not)."""
+    everything else must not). Runs the pipelined side in BOTH block
+    storage layouts — the canonical per-layer list (in-step stack) and
+    the trainer's natively stacked storage (loop.py, no in-step stack) —
+    and additionally asserts the stacked step's params unstack to the
+    plain step's updated weights."""
     from afft_tpu.parallel.pipeline import (PipelineCtx,
-                                            make_mesh_data_pipe)
+                                            make_mesh_data_pipe,
+                                            unstack_predictor_blocks)
 
     cfg = tiny_cfg(extra=NO_PDROP)
     batch = make_batch(cfg)
     results = {}
-    for pipelined in (False, True):
-        model, params, opt_state, runner = build_runner(cfg, mixup=False,
-                                                        donate=False)
+    for mode in ("plain", "pipelined", "pipelined-stacked"):
+        pipelined = mode != "plain"
+        model, params, opt_state, runner = build_runner(
+            cfg, mixup=False, donate=False,
+            stack_blocks=mode == "pipelined-stacked")
         mesh = make_mesh_data_pipe(2) if pipelined \
             else make_mesh(jax.devices())
         if pipelined:
@@ -655,12 +668,21 @@ def test_pipeline_stages_train_step_matches_plain():
         for step in range(2):
             p, s, losses, _, _ = runner.train_step(p, s, db, 0.01, 0.01,
                                                    jax.random.key(step))
-        results[pipelined] = (float(losses["total_loss"]),
-                              np.asarray(jax.tree.leaves(p)[0]))
-    assert np.isclose(results[False][0], results[True][0], rtol=1e-5), \
-        results
-    np.testing.assert_allclose(results[False][1], results[True][1],
-                               rtol=1e-5, atol=1e-6)
+        if mode == "pipelined-stacked":
+            p = unstack_predictor_blocks(p)
+        results[mode] = (float(losses["total_loss"]),
+                         np.asarray(jax.tree.leaves(p)[0]),
+                         jax.tree.map(np.asarray, p))
+    for mode in ("pipelined", "pipelined-stacked"):
+        assert np.isclose(results["plain"][0], results[mode][0],
+                          rtol=1e-5), (mode, results["plain"][0],
+                                       results[mode][0])
+        np.testing.assert_allclose(results["plain"][1], results[mode][1],
+                                   rtol=1e-5, atol=1e-6)
+    # full updated weight trees agree between the two storage layouts
+    for a, b in zip(jax.tree.leaves(results["pipelined"][2]),
+                    jax.tree.leaves(results["pipelined-stacked"][2])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def test_pipeline_stages_train_dropout_runs():

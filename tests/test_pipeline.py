@@ -138,3 +138,80 @@ def test_pipeline_train_mode_dropout():
                                rtol=1e-5, atol=1e-5)
     # masks really differ across microbatches (fold_in(m) decorrelates)
     assert not np.allclose(np.asarray(out[:12]), np.asarray(out[12:24]))
+
+
+def test_native_stacked_predictor_storage_roundtrip():
+    """stack_predictor_blocks targets GPT-2 predictor subtrees only
+    (blocks + wpe): fuser block LISTS are untouched, and unstack restores
+    the canonical tree exactly (VERDICT r4 next #6)."""
+    from afft_tpu.models.predictor import BaseFuturePredictor
+    from afft_tpu.parallel.pipeline import (stack_predictor_blocks,
+                                            unstack_predictor_blocks)
+
+    fp = BaseFuturePredictor(in_features=32, inter_dim=32, n_layer=4,
+                             n_head=2)
+    pred = fp.init(jax.random.key(0))
+    fuser = {"blocks": [{"w": jnp.ones((3, 3))}, {"w": jnp.zeros((3, 3))}],
+             "token": jnp.ones((1, 32))}
+    tree = {"future_predictor": {"fuser": fuser,
+                                 "future_predictor": pred}}
+
+    stacked = stack_predictor_blocks(tree)
+    # predictor blocks: list -> stacked dict with leading layer dim
+    sb = stacked["future_predictor"]["future_predictor"]["blocks"]
+    assert isinstance(sb, dict)
+    assert sb["c_attn"]["w"].shape[0] == 4
+    # fuser blocks: still a list (no wpe sibling)
+    assert isinstance(stacked["future_predictor"]["fuser"]["blocks"], list)
+
+    restored = unstack_predictor_blocks(stacked)
+    assert jax.tree.structure(restored) == jax.tree.structure(tree)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipelined_forward_consumes_stacked_storage_directly():
+    """With natively stacked block storage the pipelined forward_hidden
+    (a) matches the canonical sequential forward and (b) contains NO
+    stack/concatenate of the per-layer weights in its jaxpr — the per-step
+    HBM re-stack the canonical list layout paid is gone."""
+    from afft_tpu.models.predictor import BaseFuturePredictor
+    from afft_tpu.parallel.pipeline import (PipelineCtx,
+                                            stack_predictor_blocks)
+
+    L_, B, T, C = 4, 8, 6, 32
+    fp = BaseFuturePredictor(in_features=C, inter_dim=C, n_layer=L_,
+                             n_head=2)
+    params = fp.init(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(3)
+                    .standard_normal((B, T, C)).astype(np.float32))
+    pos = jnp.arange(T)
+
+    seq, _ = fp.forward_hidden(params, x, pos, train=False)
+
+    fp.pipeline_ctx = PipelineCtx(make_mesh_pipe(2), microbatches=2)
+    try:
+        stacked = stack_predictor_blocks(params)
+        out, _ = fp.forward_hidden(stacked, x, pos, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
+                                   rtol=1e-5, atol=1e-5)
+
+        jaxpr_stacked = str(jax.make_jaxpr(
+            lambda p, h: fp.forward_hidden(p, h, pos, train=False)[0]
+        )(stacked, x))
+        jaxpr_canon = str(jax.make_jaxpr(
+            lambda p, h: fp.forward_hidden(p, h, pos, train=False)[0]
+        )(params, x))
+        assert "concatenate" in jaxpr_canon, \
+            "canonical list layout should re-stack inside the program"
+        assert "concatenate" not in jaxpr_stacked, \
+            "stacked storage must not re-stack the block weights per step"
+
+        # the sequential fallbacks (eval/export/collect_attn) slice the
+        # stacked storage transparently
+        fp.pipeline_ctx = None
+        out_sliced, _ = fp.forward_hidden(stacked, x, pos, train=False)
+        np.testing.assert_allclose(np.asarray(out_sliced), np.asarray(seq),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        fp.pipeline_ctx = None
