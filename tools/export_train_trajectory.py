@@ -49,6 +49,7 @@ Usage: python tools/export_train_trajectory.py [outdir]
        [early|matt|individual|temporal|ca ...]
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -65,12 +66,31 @@ VARIANTS = tuple(a for a in _args if a in ALL_VARIANTS) or ALL_VARIANTS
 _dirs = [a for a in _args if a not in ALL_VARIANTS + ("all",)]
 OUTDIR = Path(_dirs[0] if _dirs else "tests/fixtures")
 
-# trajectory shape
+# trajectory shape (toy: every leg asserts per-iteration, CI-fast)
 B, T = 6, 6
 EPOCHS, ITERS, VAL_ITERS = 3, 10, 4
 MODS = ["rgb", "objects", "flow"]
 DIMS = {"rgb": 48, "objects": 20, "flow": 48}
 NUM_CLASSES = {"action": 17, "verb": 7, "noun": 9}
+# model dims (model_cfg); overridden by the flagship block below
+IN_F, FP_INTER, FP_LAYERS, FP_HEADS = 48, 64, 2, 2
+FUSER_DEPTH = 2
+FLAGSHIP = bool(os.environ.get("AFFT_TRAJ_FLAGSHIP"))
+if FLAGSHIP:
+    # AFFT_TRAJ_FLAGSHIP=1: the expts/01_SA-Fuser_ek100_train.txt shapes —
+    # 4 modalities at real dims, dim-1024 depth-6 fuser, n_embd=2048
+    # 6-layer GPT-2, 3806 actions — for ~5 iterations (the opt-in slow leg
+    # in tests/test_trajectory_flagship.py: catches accumulation-order
+    # divergences the toy dims can't). 'early' variant only; per-step
+    # state-dict snapshots are skipped (3 x 1.5 GB).
+    B, T = 4, 16
+    EPOCHS, ITERS, VAL_ITERS = 1, 5, 1
+    MODS = ["rgb", "objects", "audio", "flow"]
+    DIMS = {"rgb": 1024, "objects": 352, "audio": 1024, "flow": 1024}
+    NUM_CLASSES = {"action": 3806}
+    IN_F, FP_INTER, FP_LAYERS, FP_HEADS = 1024, 2048, 6, 4
+    FUSER_DEPTH = 6
+    VARIANTS = ("early",)
 LR, WD = 0.02, 1e-4
 FUSER_LR, FUSER_WD = 0.01, 0.0
 GRAD_CLIP = 1.0
@@ -138,8 +158,8 @@ def model_cfg(DictConfig, variant="early"):
     # early (expt-01/02) and the two temporal-fuser compositions (expt-03
     # T-SA-Fuser, expt-04 CA-Fuser) share the CMFPEarly shared-head stack
     # and differ only in the fuser group — exactly like the expt files
-    fuser = {"_target_": "models.fusion.ModalTokenCMFuser", "dim": 48,
-             "depth": 2, "num_heads": 4, "drop_rate": 0.0,
+    fuser = {"_target_": "models.fusion.ModalTokenCMFuser", "dim": IN_F,
+             "depth": FUSER_DEPTH, "num_heads": 4, "drop_rate": 0.0,
              "attn_drop_rate": 0.0, "drop_path_rate": 0.0,
              "modalities": dict(DIMS)}
     if variant == "temporal":
@@ -163,7 +183,8 @@ def model_cfg(DictConfig, variant="early"):
         "modal_feature_order": ["rgb", "objects", "audio", "poses", "flow"],
         "dropout": 0.0,
         "common": DictConfig({
-            "in_features": 48, "fp_inter_dim": 64, "fp_output_len": 1,
+            "in_features": IN_F, "fp_inter_dim": FP_INTER,
+            "fp_output_len": 1,
             "share_classifiers": True, "share_predictors": True,
             "modality_cls": False, "fusion_cls": True,
             "backbones": DictConfig({
@@ -174,7 +195,8 @@ def model_cfg(DictConfig, variant="early"):
         "fuser": fuser,
         "future_predictor": {
             "_target_": "models.future_prediction.BaseFuturePredictor",
-            "in_features": 48, "inter_dim": 64, "n_layer": 2, "n_head": 2,
+            "in_features": IN_F, "inter_dim": FP_INTER,
+            "n_layer": FP_LAYERS, "n_head": FP_HEADS,
             "embd_pdrop": 0.0, "resid_pdrop": 0.0, "attn_pdrop": 0.0,
             "output_attentions": False},
         "CMFP": {"_target_": "models.future_prediction.CMFPEarly",
@@ -336,7 +358,7 @@ def run_variant(variant):
     def step_and_snapshot(*a, **kw):
         out = _orig_step(*a, **kw)
         i = len(grad_norms) - 1
-        if i < 3:
+        if i < 3 and not FLAGSHIP:  # flagship: 3 x 1.5 GB, skip
             snapshots[i] = {k: v.detach().clone()
                             for k, v in model.state_dict().items()}
         return out
@@ -440,7 +462,8 @@ def run_variant(variant):
             payload[f"ep{e}::{name}"] = np.float64(v)
     payload["meta"] = np.asarray([B, T, EPOCHS, ITERS, VAL_ITERS])
 
-    fname = ("train_trajectory.npz" if variant == "early"
+    fname = ("train_trajectory_flagship.npz" if FLAGSHIP
+             else "train_trajectory.npz" if variant == "early"
              else f"train_trajectory_{variant}.npz")
     OUTDIR.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUTDIR / fname, **payload)
