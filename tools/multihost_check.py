@@ -27,8 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PORT = 12357
 # measured flagship train step on the real chip (tools/tpu_train_check.py,
-# B=64, fused train kernels) — the budget each staged batch must beat
-TRAIN_STEP_BUDGET_MS = 44.6
+# fused train kernels) — the budget each staged batch must beat. Override
+# with AFFT_MH_BUDGET_MS when the step time changes (round 5: the combined
+# B=256 + bf16-master operating point), and AFFT_MH_LOCAL_BATCH to load the
+# pipeline at the matching per-rank batch.
+TRAIN_STEP_BUDGET_MS = float(os.environ.get("AFFT_MH_BUDGET_MS", 44.6))
+LOCAL_BATCH = int(os.environ.get("AFFT_MH_LOCAL_BATCH", 32))
 
 
 def worker(rank: int):
@@ -157,7 +161,7 @@ def flagship_worker(rank: int):
             for m in bench.MODAL_DIMS},
         frames_per_clip=16, frame_rate=1, load_seg_labels=True)
 
-    local_b = 32  # global 64 over 2 hosts
+    local_b = LOCAL_BATCH  # default: global 64 over 2 hosts
     loader = BatchLoader(ds, batch_size=local_b, shuffle=True, seed=7,
                          num_workers=8, shard_id=rank, num_shards=2,
                          drop_last=True)
@@ -229,6 +233,7 @@ def main():
                     "make_array_from_process_local_data staging)",
             "per_rank": stats,
             "worst_wall_ms_per_batch": worst,
+            "local_batch": LOCAL_BATCH,
             "train_step_budget_ms": TRAIN_STEP_BUDGET_MS,
             "keeps_devices_fed": worst < TRAIN_STEP_BUDGET_MS,
         }
