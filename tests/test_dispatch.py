@@ -144,6 +144,46 @@ def test_flagship_serving_program_contains_all_fused_kernels(monkeypatch):
         f"a dispatch predicate regressed to the XLA fallback")
 
 
+def test_flagship_train_program_contains_all_fused_kernels(monkeypatch):
+    """Same guard for the TRAINING fast path at the flagship B=64 point
+    (a silent fallback costs ~25% step time: fuser stack 31.15 ms XLA vs
+    19.07 ms fused, DESIGN.md). Differentiating the train-mode forward
+    must produce 6 fuser blocks x (1 fwd + 2 custom-VJP bwd kernels)
+    + 6 GPT-2 layers x (2 fwd halves + 3 bwd kernels) = 48 pallas_calls
+    (the dW matmuls are deliberately XLA)."""
+    from afft_tpu.models import layers as L
+    from afft_tpu.ops import attention as A
+    monkeypatch.setattr(A, "pallas_enabled", lambda: True)
+
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:1024, objects:352, audio:1024, flow:1024}",
+        "model.common_dim=1024",
+        "model.fuser.depth=6",
+        "model.common.fp_layers=6",
+    ])
+    model = BaseModel(cfg.model, num_classes={"action": 3806})
+    params = jax.eval_shape(model.init, jax.random.key(0))
+    params = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), params)
+    feats = {m: jax.ShapeDtypeStruct((B_TRAIN, T, d), jnp.bfloat16)
+             for m, d in cfg.model.modal_dims.items()}
+
+    def loss_fn(p, f, key):
+        outputs, _ = model.apply(p, f, train=True, rng=L.RngStream(key))
+        return jnp.mean(
+            outputs["logits/action"]["all-fused"].astype(jnp.float32))
+
+    n_kernels = _count_pallas_calls(
+        jax.make_jaxpr(jax.grad(loss_fn))(params, feats, jax.random.key(0)))
+    assert n_kernels == 48, (
+        f"flagship train fwd+bwd program has {n_kernels} pallas_call eqns, "
+        f"expected 48 (6 fuser x (1+2) + 6 GPT-2 x (2+3)) — a train "
+        f"dispatch predicate or custom VJP regressed to the XLA fallback")
+
+
 def test_serving_program_all_xla_when_disabled(monkeypatch):
     """AFFT_DISABLE_PALLAS / non-TPU backends must produce a pure-XLA
     program (no pallas_call smuggled past the shared gate)."""
