@@ -144,6 +144,47 @@ def test_flagship_serving_program_contains_all_fused_kernels(monkeypatch):
         f"a dispatch predicate regressed to the XLA fallback")
 
 
+@pytest.mark.parametrize("fuser_ovr, expected", [
+    # T-SA (expt-03): 6 whole-block seq kernels + 6 GPT-2 layers x 2
+    (["model/fuser=T-SA-Fuser", "model.fuser.depth=6",
+      "model.fuser.num_heads=4"], 18),
+    # CA (expt-04): depth = num_modalities - 1 = 3 fused decoder blocks
+    # + 6 GPT-2 layers x 2
+    (["model/fuser=CA-Fuser", "model.fuser.num_heads=4"], 15),
+])
+def test_temporal_fuser_serving_programs_engage_seq_kernels(
+        monkeypatch, fuser_ovr, expected):
+    """The expt-03/04 serving compositions must dispatch to the fused
+    seq/decoder kernels (pallas_seq_block: T-SA 1.43x / CA 1.36x isolated
+    vs XLA, SEQFUSER_r04.json)."""
+    from afft_tpu.ops import attention as A
+    monkeypatch.setattr(A, "pallas_enabled", lambda: True)
+
+    from afft_tpu.config import compose
+    from afft_tpu.models import BaseModel
+
+    cfg = compose("afft_tpu/conf", [
+        "model.modal_dims={rgb:1024, objects:352, audio:1024, flow:1024}",
+        "model.common_dim=1024",
+        "model.common.fp_layers=6",
+    ] + fuser_ovr)
+    model = BaseModel(cfg.model, num_classes={"action": 3806})
+    params = jax.eval_shape(model.init, jax.random.key(0))
+    params = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), params)
+    feats = {m: jax.ShapeDtypeStruct((B_SERVE, T, d), jnp.bfloat16)
+             for m, d in cfg.model.modal_dims.items()}
+
+    def fwd(p, f):
+        outputs, _ = model.apply(p, f, train=False)
+        return outputs["logits/action"]["all-fused"][:, 0, :]
+
+    n_kernels = _count_pallas_calls(jax.make_jaxpr(fwd)(params, feats))
+    assert n_kernels == expected, (
+        f"{fuser_ovr[0]} serving program has {n_kernels} pallas_call "
+        f"eqns, expected {expected}")
+
+
 def test_flagship_train_program_contains_all_fused_kernels(monkeypatch):
     """Same guard for the TRAINING fast path at the flagship B=64 point
     (a silent fallback costs ~25% step time: fuser stack 31.15 ms XLA vs
