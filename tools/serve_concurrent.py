@@ -46,6 +46,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from afft_tpu.utils.cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()  # repo-local persistent XLA cache (.jax_cache)
+
 from serve_bundle import load_bundle_buckets  # noqa: E402
 
 

@@ -10,6 +10,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from afft_tpu.utils.cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()  # repo-local persistent XLA cache (.jax_cache)
+
 T, C, H = 16, 2048, 4
 HM = 4 * C
 RATES = dict(attn_rate=0.1, resid_rate=0.1)

@@ -26,6 +26,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from afft_tpu.utils.cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()  # repo-local persistent XLA cache (.jax_cache)
+
 MODAL_DIMS = {"rgb": 1024, "objects": 352, "audio": 1024, "flow": 1024}
 N_CLASSES = 3806
 T = 16

@@ -46,6 +46,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from afft_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()  # flagship compiles cost 120-380 s on the
+    #                         tunneled TPU; pay once per image
     import jax.numpy as jnp
     from afft_tpu.config import compose
     from afft_tpu.models import BaseModel

@@ -21,6 +21,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from afft_tpu.utils.cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()  # repo-local persistent XLA cache (.jax_cache)
+
 N, C, H = 5, 1024, 4
 RATES = dict(attn_rate=0.1, drop_rate=0.1, dp_rate=0.08)
 
