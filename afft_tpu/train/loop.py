@@ -233,6 +233,12 @@ def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
 
 
 def main(cfg: Config, interactive: bool = True):
+    # persistent XLA compile cache (repo-local .jax_cache by default):
+    # flagship programs cost minutes to compile on TPU; restarted/resumed
+    # runs should not pay twice. Opt out with AFFT_NO_COMPILE_CACHE=1.
+    if not os.environ.get("AFFT_NO_COMPILE_CACHE"):
+        from ..utils.cache import enable_compile_cache
+        enable_compile_cache()
     dist_info = init_distributed(log)
     is_master = dist_info["rank"] == 0
     preempt_ev = _install_preemption_handler()
