@@ -129,10 +129,10 @@ def evaluate(model, params, dataset, loader, mesh):
 
 
 def main(cfg: Config):
-    # persistent XLA compile cache (see train/loop.py main)
-    if not os.environ.get("AFFT_NO_COMPILE_CACHE"):
-        from ..utils.cache import enable_compile_cache
-        enable_compile_cache()
+    # persistent XLA compile cache (see train/loop.py main);
+    # AFFT_NO_COMPILE_CACHE honored inside
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     dist_info = init_distributed(log)
     transform_val = get_transforms(cfg, train=False)
     dataset_test = get_dataset(cfg[DATASET_EVAL_CFG_KEY], cfg.data_eval,

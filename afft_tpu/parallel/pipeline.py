@@ -43,9 +43,13 @@ from jax import shard_map
 
 def stack_layer_params(layer_params_list):
     """[{...} per layer] -> one pytree with leading layer dim L (the
-    layout ``pipeline_blocks`` shards over the pipe axis)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0),
-                        *layer_params_list)
+    layout ``pipeline_blocks`` shards over the pipe axis). Host (numpy)
+    trees stack on host: resume restacks GiB-scale checkpoint state and
+    must not materialize it in device HBM before placement."""
+    def _stack(*xs):
+        xp = np if all(isinstance(x, np.ndarray) for x in xs) else jnp
+        return xp.stack(xs, axis=0)
+    return jax.tree.map(_stack, *layer_params_list)
 
 
 def stack_predictor_blocks(tree):
@@ -71,6 +75,40 @@ def stack_predictor_blocks(tree):
             return type(t)(walk(v) for v in t)
         return t
     return walk(tree)
+
+
+def check_uniform_layer_groups(group_tree):
+    """Guard for stacked predictor storage: stacking folds every layer
+    into one leaf, so a per-layer ``opt.lr_wd`` rule (e.g. freezing
+    ``...blocks.0``) could no longer match its '.blocks.<i>.' path and
+    would silently train that layer at the overall lr. Raise loudly
+    instead. Call with the GroupSpec tree built on the CANONICAL
+    (per-layer-list) params before stacking."""
+    bad = []
+
+    def walk(t, path):
+        if isinstance(t, dict):
+            if "wpe" in t and isinstance(t.get("blocks"), (list, tuple)):
+                blocks = t["blocks"]
+                first = jax.tree.leaves(blocks[0])
+                for i, layer in enumerate(blocks[1:], 1):
+                    if jax.tree.leaves(layer) != first:
+                        bad.append(f"{path}.blocks[{i}]" if path
+                                   else f"blocks[{i}]")
+            for k, v in t.items():
+                walk(v, f"{path}.{k}" if path else str(k))
+        elif isinstance(t, (list, tuple)):
+            for i, v in enumerate(t):
+                walk(v, f"{path}[{i}]")
+
+    walk(group_tree, "")
+    if bad:
+        raise ValueError(
+            "opt.lr_wd assigns different lr/wd groups to individual "
+            f"predictor layers ({', '.join(bad)}), which is inexpressible "
+            "under the stacked predictor storage used when "
+            "train.pipeline_stages>1 — drop the per-layer rule or train "
+            "without pipeline parallelism.")
 
 
 def unstack_predictor_blocks(tree):

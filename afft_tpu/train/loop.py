@@ -235,10 +235,10 @@ def run_one_epoch(runner, mesh, params, opt_state, loader, metric_tracker,
 def main(cfg: Config, interactive: bool = True):
     # persistent XLA compile cache (repo-local .jax_cache by default):
     # flagship programs cost minutes to compile on TPU; restarted/resumed
-    # runs should not pay twice. Opt out with AFFT_NO_COMPILE_CACHE=1.
-    if not os.environ.get("AFFT_NO_COMPILE_CACHE"):
-        from ..utils.cache import enable_compile_cache
-        enable_compile_cache()
+    # runs should not pay twice. Opt out with AFFT_NO_COMPILE_CACHE=1
+    # (honored inside enable_compile_cache, uniformly for every entry).
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     dist_info = init_distributed(log)
     is_master = dist_info["rank"] == 0
     preempt_ev = _install_preemption_handler()
@@ -307,7 +307,9 @@ def main(cfg: Config, interactive: bool = True):
         # the stack runs parallel/pipeline.py's one-scan schedule inside
         # the same jitted train step; composes with DP (and ZeRO below)
         # because the schedule maps over the pipe axis only
-        from ..parallel.pipeline import (PipelineCtx, make_mesh_data_pipe,
+        from ..parallel.pipeline import (PipelineCtx,
+                                         check_uniform_layer_groups,
+                                         make_mesh_data_pipe,
                                          stack_predictor_blocks)
         mesh = make_mesh_data_pipe(pipe_stages)
         micro = int(cfg.train.get("pipeline_microbatches") or pipe_stages)
@@ -322,6 +324,8 @@ def main(cfg: Config, interactive: bool = True):
         # and optimizer state are built on the stacked tree below;
         # checkpoints stay canonical — unstacked on save, restacked on
         # resume.
+        check_uniform_layer_groups(O.build_group_tree(
+            params, cfg.opt.lr_wd, cfg.opt.lr, cfg.opt.wd))
         params = stack_predictor_blocks(params)
         log.info("pipeline parallelism: %d stages x %d-way data, "
                  "%d microbatches (stacked predictor storage)", pipe_stages,

@@ -17,7 +17,11 @@ def enable_compile_cache(cache_dir=None):
     """Route XLA compiles through the repo-local persistent cache.
 
     Safe to call before or after backend init (jax.config updates apply
-    to subsequent compiles); idempotent."""
+    to subsequent compiles); idempotent. No-op (returns None) when
+    AFFT_NO_COMPILE_CACHE is set — the one opt-out knob applies to every
+    entry point (train/eval CLIs, bench.py, the tools/ harnesses)."""
+    if os.environ.get("AFFT_NO_COMPILE_CACHE"):
+        return None
     import jax
 
     cache_dir = cache_dir or os.path.join(_REPO_ROOT, ".jax_cache")

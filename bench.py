@@ -550,14 +550,11 @@ def wait_for_tpu(max_wait_s=2400, probe_timeout_s=100):
 def _enable_compile_cache():
     """Persistent XLA compilation cache (VERDICT r4 next #1b): the flagship
     train-step compiles cost 117-185 s each on the tunneled TPU; pay them
-    once per image, not once per bench attempt. Importing jax here does NOT
-    initialize the backend, so a wedged worker can't hang this call."""
-    import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    once per image, not once per bench attempt. The shared repo-local cache
+    lives in afft_tpu.utils.cache; importing it does NOT initialize the
+    backend, so a wedged worker can't hang this call."""
+    from afft_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
 
 def _leg_headline(results):

@@ -170,6 +170,51 @@ def test_native_stacked_predictor_storage_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_stack_on_host_trees_stays_on_host():
+    """Resume restacks GiB-scale checkpoint state from host numpy trees:
+    stacking must produce numpy (host) arrays, not device-placed jnp
+    arrays — otherwise resume materializes the full predictor params AND
+    momentum in device-0 HBM before the sharded placement."""
+    from afft_tpu.parallel.pipeline import (stack_predictor_blocks,
+                                            unstack_predictor_blocks)
+
+    blocks = [{"w": np.full((3, 3), float(i))} for i in range(4)]
+    tree = {"fp": {"wpe": np.zeros((5, 3)), "blocks": blocks}}
+    stacked = stack_predictor_blocks(tree)
+    assert type(stacked["fp"]["blocks"]["w"]) is np.ndarray
+    assert stacked["fp"]["blocks"]["w"].shape == (4, 3, 3)
+    # device trees still stack to device arrays
+    dev = jax.tree.map(jnp.asarray, tree)
+    sdev = stack_predictor_blocks(dev)
+    assert isinstance(sdev["fp"]["blocks"]["w"], jax.Array)
+    restored = unstack_predictor_blocks(stacked)
+    for i, blk in enumerate(restored["fp"]["blocks"]):
+        np.testing.assert_array_equal(blk["w"], blocks[i]["w"])
+
+
+def test_per_layer_lr_wd_rejected_under_stacked_storage():
+    """A per-layer opt.lr_wd rule (freeze blocks.0) is inexpressible in
+    the stacked layout: check_uniform_layer_groups must raise instead of
+    letting the rule silently stop matching its '.blocks.0.' path."""
+    import pytest
+    from afft_tpu.parallel.pipeline import check_uniform_layer_groups
+    from afft_tpu.train import optim as O
+
+    blocks = [{"w": np.ones((3, 3))} for _ in range(4)]
+    params = {"future_predictor": {"wpe": np.zeros((5, 3)),
+                                   "blocks": blocks}}
+    # uniform rules (or none) pass
+    check_uniform_layer_groups(
+        O.build_group_tree(params, None, 0.1, 0.01))
+    check_uniform_layer_groups(O.build_group_tree(
+        params, [["future_predictor", 0.01, 0.0]], 0.1, 0.01))
+    # a rule that singles out one layer must raise
+    groups = O.build_group_tree(
+        params, [["future_predictor.blocks.0", 0.0, 0.0]], 0.1, 0.01)
+    with pytest.raises(ValueError, match="inexpressible"):
+        check_uniform_layer_groups(groups)
+
+
 def test_pipelined_forward_consumes_stacked_storage_directly():
     """With natively stacked block storage the pipelined forward_hidden
     (a) matches the canonical sequential forward and (b) contains NO

@@ -200,9 +200,7 @@ def ref_ckpt(tmp_path_factory):
     raw = torch.load(str(path), map_location="cpu", weights_only=False)
     assert set(raw) == {"model", "optimizer", "lr_scheduler", "epoch"}
     assert raw["epoch"] == 2
-    qkv = [k for k in raw["model"]
-           if k.endswith("attn.c_attn.weight") and "gpt2" in k.lower()
-           or k.endswith("attn.c_attn.weight")]
+    qkv = [k for k in raw["model"] if k.endswith("attn.c_attn.weight")]
     assert qkv, f"no HF GPT-2 packed-qkv Conv1D keys in {list(raw['model'])[:8]}"
     # HF Conv1D stores (in, out) — packed qkv is (n_embd, 3*n_embd)
     w = raw["model"][qkv[0]]
